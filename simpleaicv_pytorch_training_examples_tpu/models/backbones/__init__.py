@@ -1,0 +1,15 @@
+"""Classification backbones — the string-name registry.
+
+Models are selected by ``backbones.__dict__[name](**kwargs)`` exactly like
+the reference (/root/reference/00.classification_training/imagenet/resnet50/
+train_config.py:33); every factory returns a flax Module.
+"""
+
+from .resnet import (resnet18, resnet34, resnet50, resnet101, resnet152)
+from .resnetcifar import (resnet18cifar, resnet34cifar, resnet50cifar,
+                          resnet101cifar, resnet152cifar)
+from .darknet import darknettiny, darknet19, darknet53
+from .van import (van_b0, van_b1, van_b2, van_b3, van_b4, van_b5, van_b6)
+from .convformer import (convformer_s18, convformer_s36, convformer_m36,
+                         convformer_b36)
+from .vit import vit_base_patch16, vit_large_patch16, vit_huge_patch14

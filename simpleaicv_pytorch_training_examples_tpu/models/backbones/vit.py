@@ -1,0 +1,126 @@
+"""Vision Transformer (B/16, L/16, H/14), NHWC flax.
+
+Parity with /root/reference/SimpleAICV/classification/backbones/vit.py:
+conv patch embed, cls token, learned pos embed over N+1 tokens, pre-norm
+blocks with linear drop-path schedule, cls-token head or global-pool head
+(MAE finetune uses global_pool=True).
+
+TPU notes: token count is static (image_size/patch)**2; attention runs as
+fused einsums with fp32 softmax. For 1024² SAM-scale inputs the pallas
+flash-attention kernel in ops/pallas is substituted by the SAM encoder; at
+224² (197 tokens) plain XLA attention is already MXU-bound.
+
+Param names `patch_embedding`, `cls_token`, `position_encoding`, `block_{i}`
+are load-bearing: the optimizer factory's layer-decay and Muon exclusion
+rules key on them (see utils/optimizers.py, reference tools/utils.py:609).
+"""
+
+from typing import Any
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..common import (Dropout, DropPath, Mlp, MultiHeadSelfAttention,
+                      trunc_normal)
+
+__all__ = ["vit_base_patch16", "vit_large_patch16", "vit_huge_patch14"]
+
+
+class TransformerEncoderLayer(nn.Module):
+    head_nums: int
+    feedforward_ratio: int = 4
+    dropout_prob: float = 0.0
+    drop_path_prob: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        dp = DropPath(self.drop_path_prob)
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        h = MultiHeadSelfAttention(self.head_nums, self.dropout_prob,
+                                   self.dtype, name="attn")(h, train)
+        x = x + dp(h, train)
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        h = Mlp(c * self.feedforward_ratio, c, self.dropout_prob,
+                dtype=self.dtype, name="mlp")(h, train)
+        x = x + dp(h, train)
+        return x
+
+
+class ViT(nn.Module):
+    patch_size: int
+    embedding_planes: int
+    block_nums: int
+    head_nums: int
+    feedforward_ratio: int = 4
+    image_size: int = 224
+    dropout_prob: float = 0.0
+    drop_path_prob: float = 0.0
+    global_pool: bool = False
+    num_classes: int = 1000
+    use_gradient_checkpoint: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b = x.shape[0]
+        n_tokens = (self.image_size // self.patch_size)**2
+
+        x = nn.Conv(self.embedding_planes,
+                    (self.patch_size, self.patch_size),
+                    strides=(self.patch_size, self.patch_size),
+                    padding="VALID", dtype=self.dtype,
+                    kernel_init=trunc_normal(0.02),
+                    name="patch_embedding")(x)
+        x = x.reshape(b, -1, self.embedding_planes)  # [B, N, C]
+
+        cls_token = self.param("cls_token", trunc_normal(1e-6),
+                               (1, 1, self.embedding_planes))
+        pos_embed = self.param("position_encoding", trunc_normal(0.02),
+                               (1, n_tokens + 1, self.embedding_planes))
+        cls = jnp.broadcast_to(cls_token.astype(x.dtype),
+                               (b, 1, self.embedding_planes))
+        x = jnp.concatenate([cls, x], axis=1)
+        x = x + pos_embed.astype(x.dtype)
+        x = Dropout(self.dropout_prob)(x, train)
+
+        # linear drop-path schedule: p_i = p * i / (n-1)
+        block = TransformerEncoderLayer
+        if self.use_gradient_checkpoint:
+            block = nn.remat(TransformerEncoderLayer, static_argnums=(2,))
+        for i in range(self.block_nums):
+            dpp = (0.0 if self.drop_path_prob == 0.0 else
+                   self.drop_path_prob * i / max(self.block_nums - 1, 1))
+            x = block(self.head_nums, self.feedforward_ratio,
+                      self.dropout_prob, dpp, self.dtype,
+                      name=f"block_{i}")(x, train)
+
+        if self.global_pool:
+            x = x[:, 1:, :].mean(axis=1)
+            x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(
+                x.astype(jnp.float32))
+        else:
+            x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+            x = x[:, 0].astype(jnp.float32)
+        x = nn.Dense(self.num_classes, dtype=jnp.float32,
+                     kernel_init=trunc_normal(2e-5), name="fc")(x)
+        return x
+
+
+def _vit(patch_size, embedding_planes, block_nums, head_nums,
+         feedforward_ratio, **kwargs):
+    return ViT(patch_size, embedding_planes, block_nums, head_nums,
+               feedforward_ratio, **kwargs)
+
+
+def vit_base_patch16(**kwargs):
+    return _vit(16, 768, 12, 12, 4, **kwargs)
+
+
+def vit_large_patch16(**kwargs):
+    return _vit(16, 1024, 24, 16, 4, **kwargs)
+
+
+def vit_huge_patch14(**kwargs):
+    return _vit(14, 1280, 32, 16, 4, **kwargs)

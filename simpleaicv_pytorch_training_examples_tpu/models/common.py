@@ -1,0 +1,176 @@
+"""Shared flax building blocks (TPU-native, NHWC, fp32-param/bf16-compute).
+
+These are the re-usable pieces behind every model family — the equivalents
+of the reference's per-file ConvBnActBlock / DropPathBlock / Mlp clones
+(e.g. /root/reference/SimpleAICV/classification/backbones/resnet.py:21-48,
+van.py:106-152). Everything computes in `dtype` (bfloat16 by default under
+training) with fp32 parameters, replacing AMP autocast + GradScaler: bf16 on
+TPU has fp32's exponent range, so no loss scaling is needed.
+
+Batch-norm note: under jit with batch-sharded inputs, the batch statistics
+are computed over the *global* batch (XLA inserts the cross-chip reduction),
+i.e. SyncBatchNorm semantics fall out of SPMD for free
+(reference: tools/utils.py:177-178 convert_sync_batchnorm).
+"""
+
+from functools import partial
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# torch-parity initializers
+kaiming_normal_conv = nn.initializers.variance_scaling(
+    2.0, "fan_out", "truncated_normal")
+
+
+def trunc_normal(std: float = 0.02):
+    # flax truncated_normal truncates at 2 sigma like torch.nn.init.trunc_normal_
+    return nn.initializers.truncated_normal(stddev=std)
+
+
+class ConvBnAct(nn.Module):
+    """Conv2d + optional BatchNorm + optional activation, NHWC."""
+    planes: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: Union[str, int] = 1
+    groups: int = 1
+    has_bn: bool = True
+    has_act: bool = True
+    act: Callable = nn.relu
+    dilation: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = [(pad, pad), (pad, pad)]
+        x = nn.Conv(self.planes,
+                    (self.kernel_size, self.kernel_size),
+                    strides=(self.stride, self.stride),
+                    padding=pad,
+                    feature_group_count=self.groups,
+                    kernel_dilation=(self.dilation, self.dilation),
+                    use_bias=not self.has_bn,
+                    kernel_init=kaiming_normal_conv,
+                    dtype=self.dtype,
+                    name="conv")(x)
+        if self.has_bn:
+            x = nn.BatchNorm(use_running_average=not train,
+                             momentum=0.9,
+                             epsilon=1e-5,
+                             dtype=self.dtype,
+                             name="bn")(x)
+        if self.has_act:
+            x = self.act(x)
+        return x
+
+
+class DropPath(nn.Module):
+    """Stochastic depth over the batch dim (train only).
+
+    Parity with the DropPathBlock replicated through the reference backbones
+    (classification/backbones/van.py:113-152). Uses the 'droppath' RNG
+    collection.
+    """
+    drop_path_prob: float = 0.0
+    scale_by_keep: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.drop_path_prob == 0.0 or not train:
+            return x
+        keep = 1.0 - self.drop_path_prob
+        rng = self.make_rng("droppath")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape).astype(x.dtype)
+        if self.scale_by_keep and keep > 0.0:
+            mask = mask / keep
+        return x * mask
+
+
+class Dropout(nn.Module):
+    """Dropout using the 'dropout' RNG collection (train only)."""
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.rate == 0.0 or not train:
+            return x
+        rng = self.make_rng("dropout")
+        keep = 1.0 - self.rate
+        mask = jax.random.bernoulli(rng, keep, x.shape).astype(x.dtype)
+        return x * mask / keep
+
+
+class Mlp(nn.Module):
+    """Transformer feed-forward: Linear -> GELU -> Linear (+dropout)."""
+    hidden_planes: int
+    planes: int
+    dropout_prob: float = 0.0
+    act: Callable = nn.gelu
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Dense(self.hidden_planes, dtype=self.dtype,
+                     kernel_init=trunc_normal(0.02), name="fc1")(x)
+        x = self.act(x)
+        x = Dropout(self.dropout_prob)(x, train)
+        x = nn.Dense(self.planes, dtype=self.dtype,
+                     kernel_init=trunc_normal(0.02), name="fc2")(x)
+        x = Dropout(self.dropout_prob)(x, train)
+        return x
+
+
+class MultiHeadSelfAttention(nn.Module):
+    """Standard MHSA over [B, N, C] tokens.
+
+    The qkv projection is a single fused Dense (one big MXU matmul); the
+    softmax runs in fp32 for numerical parity with torch autocast.
+    """
+    head_nums: int
+    dropout_prob: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, n, c = x.shape
+        head_dim = c // self.head_nums
+        qkv = nn.Dense(3 * c, dtype=self.dtype,
+                       kernel_init=trunc_normal(0.02), name="qkv")(x)
+        qkv = qkv.reshape(b, n, 3, self.head_nums, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B,N,H,D]
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k,
+                          preferred_element_type=jnp.float32)
+        attn = attn * (head_dim**-0.5)
+        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        attn = Dropout(self.dropout_prob)(attn, train)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v)
+        out = out.reshape(b, n, c)
+        out = nn.Dense(c, dtype=self.dtype,
+                       kernel_init=trunc_normal(0.02), name="proj")(out)
+        out = Dropout(self.dropout_prob)(out, train)
+        return out
+
+
+def max_pool(x, window: int, stride: int, padding="VALID"):
+    """NHWC max pool; padding may be 'SAME'/'VALID' or explicit pairs."""
+    return nn.max_pool(x, (window, window), strides=(stride, stride),
+                       padding=padding)
+
+
+def avg_pool_global(x):
+    """Global average pool NHWC -> [B, C]."""
+    return jnp.mean(x, axis=(1, 2))
+
+
+def drop_path_rates(drop_path_prob: float, total_blocks: int) -> list:
+    """np.linspace(0, p, n) schedule used by VAN/ConvFormer."""
+    if total_blocks <= 1:
+        return [0.0] * total_blocks
+    return [drop_path_prob * i / (total_blocks - 1)
+            for i in range(total_blocks)]
