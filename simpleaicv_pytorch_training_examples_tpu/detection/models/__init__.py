@@ -1,0 +1,4 @@
+"""Detection model registry (string-name factory lookup, reference UX)."""
+
+from .retinanet import *  # noqa: F401,F403
+from .fcos import *  # noqa: F401,F403

@@ -51,20 +51,35 @@ def apply_pretrained(model, params, logger=None):
     """Apply a pretrained checkpoint recorded by `load_state_dict` on the
     model def (see classification/common.py), name+shape filtered with
     pos-embed resize. Torch .pth and orbax dirs are both accepted."""
+    import os
+
+    from ..utils.checkpoint import (flatten_params, load_params_filtered,
+                                    load_torch_state_dict)
+
+    def _load_flat(p):
+        if os.path.isdir(p):
+            import orbax.checkpoint as ocp
+            saved = ocp.StandardCheckpointer().restore(p)
+            return flatten_params(saved)
+        return load_torch_state_dict(p)
+
+    # backbone-only pretrained weights (detection/seg configs): keys are
+    # remapped under the 'backbone.' prefix
+    bb_path = getattr(model, "backbone_pretrained_path", "")
+    if bb_path and os.path.exists(bb_path):
+        flat = _load_flat(bb_path)
+        if flat:
+            flat = {f"backbone.{k}": v for k, v in flat.items()}
+            params, loaded, total = load_params_filtered(flat, params,
+                                                         logger)
+            if logger:
+                logger.info(f"backbone pretrained: {loaded}/{total} tensors "
+                            f"from {bb_path}")
+
     path = getattr(model, "_pretrained_path", None)
     if not path:
         return params
-    import os
-
-    from ..utils.checkpoint import (load_params_filtered,
-                                    load_torch_state_dict)
-    if os.path.isdir(path):
-        import orbax.checkpoint as ocp
-        saved = ocp.StandardCheckpointer().restore(path)
-        from ..utils.checkpoint import flatten_params
-        flat = flatten_params(saved)
-    else:
-        flat = load_torch_state_dict(path)
+    flat = _load_flat(path)
     if flat is None:
         return params
     excluded = getattr(model, "_pretrained_excluded", ())

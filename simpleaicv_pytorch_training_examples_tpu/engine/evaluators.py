@@ -50,3 +50,192 @@ def classification_evaluator(model, config, ctx, output_index: Optional[int]
                             f"top{topk} {meter.acc_topk:.3f}")
 
     return evaluate
+
+
+def detection_coco_evaluator(model, config, ctx):
+    """COCO-protocol mAP over ctx.test_loader.
+
+    Mirrors /root/reference/tools/scripts.py:742-876 (evaluate_coco_detection)
+    with the decode running on device and the mAP accumulation in the
+    pure-numpy evaluator (pycocotools is unavailable here).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..detection.coco_eval import COCOMeanAveragePrecision
+    from ..parallel import shard_batch
+    from ..parallel.mesh import pad_batch_to_multiple
+
+    decoder = config.decoder
+    dataset = config.test_dataset
+    compute_dtype = jnp.bfloat16 if getattr(config, "use_amp", True) \
+        else jnp.float32
+
+    @jax.jit
+    def forward(state, images):
+        return model.apply({"params": state.params, **state.variables},
+                           images.astype(compute_dtype), train=False)
+
+    def evaluate(state):
+        dets = []
+        sample_idx = 0
+        for batch in ctx.test_loader:
+            padded, n_real = pad_batch_to_multiple(batch, ctx.n_devices)
+            sharded = shard_batch(padded, ctx.mesh)
+            preds = forward(state, sharded["image"])
+            scores, classes, boxes = decoder(preds)
+            scores = np.asarray(scores)[:n_real]
+            classes = np.asarray(classes)[:n_real]
+            boxes = np.asarray(boxes)[:n_real]
+            scales = np.asarray(batch["scale"])[:n_real]
+            for i in range(n_real):
+                image_id = dataset.image_ids[sample_idx]
+                sample_idx += 1
+                keep = classes[i] >= 0
+                bxs = boxes[i][keep] / max(scales[i], 1e-8)
+                scs = scores[i][keep]
+                cls = classes[i][keep]
+                for b, s, c in zip(bxs, scs, cls):
+                    dets.append({
+                        "image_id": image_id,
+                        "category_id": dataset.label_to_cat_id[int(c)],
+                        "bbox": [float(b[0]), float(b[1]),
+                                 float(b[2] - b[0]), float(b[3] - b[1])],
+                        "score": float(s),
+                    })
+
+        gts = []
+        for idx in range(sample_idx):
+            image_id = dataset.image_ids[idx]
+            for a in dataset.anns_by_image.get(image_id, []):
+                gts.append({
+                    "image_id": image_id,
+                    "category_id": a["category_id"],
+                    "bbox": list(a["bbox"]),
+                    "iscrowd": a.get("iscrowd", 0),
+                    "area": a.get("area", a["bbox"][2] * a["bbox"][3]),
+                })
+        stats = COCOMeanAveragePrecision().evaluate(
+            gts, dets, image_ids=[dataset.image_ids[i]
+                                  for i in range(sample_idx)])
+        mAP = stats[0] * 100
+        return mAP, (f"mAP {mAP:.3f} AP50 {stats[1] * 100:.3f} "
+                     f"AP75 {stats[2] * 100:.3f}")
+
+    return evaluate
+
+
+def semantic_segmentation_evaluator(model, config, ctx):
+    """Streaming confusion-matrix mIoU/precision/recall/dice.
+
+    Mirrors /root/reference/tools/scripts.py:1106-1171 (torch.histc
+    streaming confusion) with the per-batch confusion computed on device as
+    a bincount of gt*C+pred and summed on host.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..parallel import shard_batch
+    from ..parallel.mesh import pad_batch_to_multiple
+
+    num_classes = config.num_classes
+    compute_dtype = jnp.bfloat16 if getattr(config, "use_amp", True) \
+        else jnp.float32
+
+    @jax.jit
+    def eval_step(state, batch):
+        pred = model.apply({"params": state.params, **state.variables},
+                           batch["image"].astype(compute_dtype), train=False)
+        pred_cls = jnp.argmax(pred.astype(jnp.float32), axis=-1)
+        gt = batch["mask"].astype(jnp.int32)
+        flat = gt.reshape(-1) * num_classes + pred_cls.reshape(-1)
+        conf = jnp.bincount(flat, length=num_classes * num_classes)
+        return conf.reshape(num_classes, num_classes)
+
+    def evaluate(state):
+        confusion = np.zeros((num_classes, num_classes), np.int64)
+        for batch in ctx.test_loader:
+            padded, n_real = pad_batch_to_multiple(batch, ctx.n_devices)
+            # zero out padded rows' contribution by masking them to class 0
+            padded = shard_batch(padded, ctx.mesh)
+            conf = np.asarray(eval_step(state, padded))
+            confusion += conf
+        tp = np.diag(confusion).astype(np.float64)
+        fp = confusion.sum(axis=0) - tp
+        fn = confusion.sum(axis=1) - tp
+        valid = (confusion.sum(axis=1) > 0)
+        iou = tp / np.clip(tp + fp + fn, 1, None)
+        precision = tp / np.clip(tp + fp, 1, None)
+        recall = tp / np.clip(tp + fn, 1, None)
+        dice = 2 * tp / np.clip(2 * tp + fp + fn, 1, None)
+        miou = float(iou[valid].mean() * 100) if valid.any() else 0.0
+        return miou, (f"mIoU {miou:.3f} "
+                      f"mprecision {precision[valid].mean() * 100:.3f} "
+                      f"mrecall {recall[valid].mean() * 100:.3f} "
+                      f"mdice {dice[valid].mean() * 100:.3f}")
+
+    return evaluate
+
+
+def salient_object_detection_evaluator(model, config, ctx):
+    """Threshold-swept IoU / precision / recall / F-beta^2.
+
+    Mirrors /root/reference/tools/salient_object_detection_scripts.py:24-90
+    (EvalMeter over 256 thresholds, beta^2=0.3, plus mean IoU at 0.5).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..parallel import shard_batch
+    from ..parallel.mesh import pad_batch_to_multiple
+
+    compute_dtype = jnp.bfloat16 if getattr(config, "use_amp", True) \
+        else jnp.float32
+    thresholds = jnp.linspace(0.0, 1.0 - 1e-4, 256)
+
+    @jax.jit
+    def eval_step(state, batch):
+        pred = model.apply({"params": state.params, **state.variables},
+                           batch["image"].astype(compute_dtype),
+                           train=False)[..., 0].astype(jnp.float32)
+        gt = (batch["mask"] > 0.5).astype(jnp.float32)
+        # per-threshold tp/fp/fn summed over batch+pixels: [256]
+        p = pred.reshape(pred.shape[0], -1)
+        g = gt.reshape(gt.shape[0], -1)
+        bin_p = (p[None] > thresholds[:, None, None]).astype(jnp.float32)
+        tp = (bin_p * g[None]).sum(axis=(1, 2))
+        fp = (bin_p * (1 - g[None])).sum(axis=(1, 2))
+        fn = ((1 - bin_p) * g[None]).sum(axis=(1, 2))
+        # IoU at 0.5 per image
+        b05 = (p > 0.5).astype(jnp.float32)
+        inter = (b05 * g).sum(axis=1)
+        union = jnp.clip(b05.sum(axis=1) + g.sum(axis=1) - inter, 1e-4, None)
+        return tp, fp, fn, inter / union
+
+    def evaluate(state):
+        tp = np.zeros(256)
+        fp = np.zeros(256)
+        fn = np.zeros(256)
+        ious = []
+        for batch in ctx.test_loader:
+            padded, n_real = pad_batch_to_multiple(batch, ctx.n_devices)
+            sharded = shard_batch(padded, ctx.mesh)
+            t, f, n, iou = eval_step(state, sharded)
+            tp += np.asarray(t)
+            fp += np.asarray(f)
+            fn += np.asarray(n)
+            ious.extend(np.asarray(iou)[:n_real].tolist())
+        precision = tp / np.clip(tp + fp, 1, None)
+        recall = tp / np.clip(tp + fn, 1, None)
+        beta2 = 0.3
+        f_beta = (1 + beta2) * precision * recall / np.clip(
+            beta2 * precision + recall, 1e-8, None)
+        miou = float(np.mean(ious))
+        return miou, (f"IoU {miou:.4f} maxF {float(f_beta.max()):.4f} "
+                      f"precision {float(precision.mean()):.4f} "
+                      f"recall {float(recall.mean()):.4f}")
+
+    return evaluate
