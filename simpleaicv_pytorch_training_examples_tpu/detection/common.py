@@ -175,3 +175,49 @@ class DetectionCollater:
             sizes[i] = s.get("size", np.array(img.shape[:2], np.float32))
         return {"image": images, "annots": annots, "scale": scales,
                 "size": sizes}
+
+
+class DETRDetectionCollater:
+    """DETR variant: adds the pixel padding mask (True = padded) and
+    cxcywh-normalized 'scaled_annots' (reference common.py:291-360)."""
+
+    def __init__(self, resize=800, resize_type="yolo_style",
+                 max_annots_num=100):
+        assert resize_type in ("retina_style", "yolo_style")
+        self.resize = resize
+        if resize_type == "retina_style":
+            self.resize = int(round(self.resize * 1333.0 / 800))
+        self.max_annots_num = max_annots_num
+
+    def __call__(self, samples):
+        n = len(samples)
+        r = self.resize
+        images = np.zeros((n, r, r, 3), np.float32)
+        masks = np.ones((n, r, r), bool)
+        annots = np.full((n, self.max_annots_num, 5), -1.0, np.float32)
+        scaled_annots = np.full((n, self.max_annots_num, 5), -1.0,
+                                np.float32)
+        scales = np.zeros((n,), np.float32)
+        sizes = np.zeros((n, 2), np.float32)
+        for i, s in enumerate(samples):
+            img = s["image"]
+            h, w = img.shape[:2]
+            images[i, :h, :w] = img
+            masks[i, :h, :w] = False
+            a = s["annots"][:self.max_annots_num]
+            if a.shape[0] > 0:
+                annots[i, :a.shape[0]] = a
+                wh = np.array([w, h, w, h], np.float32)
+                ctr = (a[:, 0:2] + a[:, 2:4]) / 2
+                box_wh = a[:, 2:4] - a[:, 0:2]
+                cxcywh = np.concatenate([ctr, box_wh], axis=1) / wh
+                scaled_annots[i, :a.shape[0], 0:4] = cxcywh
+                scaled_annots[i, :a.shape[0], 4] = a[:, 4]
+            scales[i] = s.get("scale", 1.0)
+            sizes[i] = s.get("size", np.array(img.shape[:2], np.float32))
+        return {"image": images, "mask": masks, "annots": annots,
+                "scaled_annots": scaled_annots, "scale": scales,
+                "size": sizes}
+
+
+__all__.append("DETRDetectionCollater")

@@ -163,3 +163,56 @@ class FCOSDecoder:
         xy_max = positions[None] + reg_preds[:, :, 2:4]
         boxes = jnp.concatenate([xy_min, xy_max], axis=2)
         return jnp.trunc(boxes).astype(jnp.float32)
+
+
+class DETRDecoder:
+    """DETR decode: per-query softmax (no-object dropped), cxcywh -> xyxy in
+    input-image coordinates via per-image scaled sizes; top max_object_num
+    by score with a score threshold (no NMS — DETR is set-based).
+
+    Parity with /root/reference/SimpleAICV/detection/decode.py:366-440.
+    """
+
+    def __init__(self, num_classes=80, max_object_num=100,
+                 min_score_threshold=0.05, topn=100):
+        self.num_classes = num_classes
+        self.max_object_num = max_object_num
+        self.min_score_threshold = min_score_threshold
+        self.topn = topn
+
+        @jax.jit
+        def _decode(cls_pred, reg_pred, sizes):
+            # cls_pred [B,Q,C+1] logits, reg_pred [B,Q,4] cxcywh in [0,1]
+            probs = jax.nn.softmax(cls_pred.astype(jnp.float32), axis=-1)
+            scores = probs[..., :-1].max(axis=-1)
+            classes = probs[..., :-1].argmax(axis=-1).astype(jnp.float32)
+            hw = sizes[:, None, :]  # [B,1,2] (h,w)
+            scale = jnp.concatenate([hw[..., 1:2], hw[..., 0:1],
+                                     hw[..., 1:2], hw[..., 0:1]], axis=-1)
+            boxes = jnp.concatenate(
+                [reg_pred[..., :2] - 0.5 * reg_pred[..., 2:4],
+                 reg_pred[..., :2] + 0.5 * reg_pred[..., 2:4]],
+                axis=-1) * scale
+
+            k = min(self.max_object_num, scores.shape[1])
+            top_scores, top_idx = jax.lax.top_k(scores, k)
+            top_classes = jnp.take_along_axis(classes, top_idx, axis=1)
+            top_boxes = jnp.take_along_axis(boxes, top_idx[..., None],
+                                            axis=1)
+            keep = top_scores > self.min_score_threshold
+            out_scores = jnp.where(keep, top_scores, -1.0)
+            out_classes = jnp.where(keep, top_classes, -1.0)
+            out_boxes = jnp.where(keep[..., None], top_boxes, 0.0)
+            return out_scores, out_classes, out_boxes
+
+        self._decode = _decode
+
+    def __call__(self, preds, sizes):
+        cls_preds, reg_preds = preds
+        scores, classes, boxes = self._decode(
+            jnp.asarray(cls_preds[-1]), jnp.asarray(reg_preds[-1]),
+            jnp.asarray(sizes))
+        return [np.asarray(scores), np.asarray(classes), np.asarray(boxes)]
+
+
+__all__.append("DETRDecoder")

@@ -358,3 +358,157 @@ class FCOSLoss:
                jnp.clip(jnp.maximum(t_, bb), _EPS, None)))
         cness = jnp.where(is_positive, cness, 0.0)
         return ltrb_t, gt_class, cness
+
+
+def _hungarian_match_host(cost, gt_valid):
+    """Host-side per-image LSA. cost [B,Q,M] fp32, gt_valid [B,M] bool ->
+    matched gt index per query [B,Q] int32 (-1 = unmatched)."""
+    import numpy as np
+    from scipy.optimize import linear_sum_assignment
+
+    cost = np.asarray(cost, np.float64)
+    gt_valid = np.asarray(gt_valid, bool)
+    b, q, m = cost.shape
+    out = np.full((b, q), -1, np.int32)
+    for i in range(b):
+        valid_idx = np.where(gt_valid[i])[0]
+        if valid_idx.size == 0:
+            continue
+        c = cost[i][:, valid_idx]
+        c = np.nan_to_num(c, nan=1e5, posinf=1e5, neginf=-1e5)
+        rows, cols = linear_sum_assignment(c)
+        out[i, rows] = valid_idx[cols]
+    return out
+
+
+class DETRLoss:
+    """DETR Hungarian-matched set loss with deep supervision.
+
+    Parity with /root/reference/SimpleAICV/detection/losses.py:843-1090:
+    match on the last decoder layer (cls softmax-prob cost + L1 + GIoU),
+    then per-layer weighted CE (no-object weight 0.1), L1, GIoU losses.
+
+    The matching itself is combinatorial and runs host-side via
+    jax.pure_callback (SURVEY.md §7 "Hungarian matching stays host-side");
+    everything else is on device with static shapes (annotations are the
+    fixed-size cxcywh-normalized 'scaled_annots' [B,M,5], -1 padded).
+    """
+
+    def __init__(self, cls_match_cost=1.0, box_match_cost=5.0,
+                 giou_match_cost=2.0, cls_loss_weight=1.0,
+                 box_l1_loss_weight=5.0, iou_loss_weight=2.0,
+                 no_object_cls_weight=0.1, num_classes=80):
+        self.cls_match_cost = cls_match_cost
+        self.box_match_cost = box_match_cost
+        self.giou_match_cost = giou_match_cost
+        self.cls_loss_weight = cls_loss_weight
+        self.box_l1_loss_weight = box_l1_loss_weight
+        self.iou_loss_weight = iou_loss_weight
+        self.no_object_cls_weight = no_object_cls_weight
+        self.num_classes = num_classes
+
+    @staticmethod
+    def _cxcywh_to_xyxy(boxes):
+        return jnp.concatenate([boxes[..., :2] - 0.5 * boxes[..., 2:4],
+                                boxes[..., :2] + 0.5 * boxes[..., 2:4]],
+                               axis=-1)
+
+    @staticmethod
+    def _pairwise_giou(boxes1, boxes2):
+        """[..., N, 4] x [..., M, 4] xyxy -> [..., N, M] giou."""
+        b1 = boxes1[..., :, None, :]
+        b2 = boxes2[..., None, :, :]
+        lt = jnp.maximum(b1[..., :2], b2[..., :2])
+        rb = jnp.minimum(b1[..., 2:], b2[..., 2:])
+        wh = jnp.clip(rb - lt, 0.0, None)
+        inter = wh[..., 0] * wh[..., 1]
+        a1 = jnp.clip((b1[..., 2] - b1[..., 0]) * (b1[..., 3] - b1[..., 1]),
+                      0.0, None)
+        a2 = jnp.clip((b2[..., 2] - b2[..., 0]) * (b2[..., 3] - b2[..., 1]),
+                      0.0, None)
+        union = jnp.clip(a1 + a2 - inter, 1e-4, None)
+        iou = inter / union
+        elt = jnp.minimum(b1[..., :2], b2[..., :2])
+        erb = jnp.maximum(b1[..., 2:], b2[..., 2:])
+        ewh = jnp.clip(erb - elt, 0.0, None)
+        earea = jnp.clip(ewh[..., 0] * ewh[..., 1], 1e-4, None)
+        return iou - (earea - union) / earea
+
+    def __call__(self, preds, annotations):
+        cls_preds, reg_preds = preds  # [L,B,Q,C+1], [L,B,Q,4]
+        cls_preds = cls_preds.astype(jnp.float32)
+        reg_preds = jnp.clip(reg_preds.astype(jnp.float32), _EPS, 1.0 - _EPS)
+        annotations = annotations.astype(jnp.float32)
+
+        gt_boxes = annotations[..., 0:4]  # cxcywh normalized
+        gt_class = annotations[..., 4]
+        gt_valid = gt_class >= 0  # [B, M]
+        safe_class = jnp.clip(gt_class, 0, None).astype(jnp.int32)
+
+        # --- matching on last layer (no gradient) ---
+        last_cls = jax.lax.stop_gradient(cls_preds[-1])
+        last_reg = jax.lax.stop_gradient(reg_preds[-1])
+        probs = jnp.clip(jax.nn.softmax(last_cls, axis=-1), _EPS, 1.0 - _EPS)
+        cls_cost = -jnp.take_along_axis(
+            jnp.broadcast_to(probs[:, :, None, :],
+                             (*probs.shape[:2], gt_class.shape[1],
+                              probs.shape[-1])),
+            safe_class[:, None, :, None], axis=-1)[..., 0]  # [B,Q,M]
+        box_cost = jnp.abs(last_reg[:, :, None, :] -
+                           gt_boxes[:, None, :, :]).sum(-1)
+        giou_cost = -self._pairwise_giou(self._cxcywh_to_xyxy(last_reg),
+                                         self._cxcywh_to_xyxy(gt_boxes))
+        total_cost = (self.cls_match_cost * cls_cost +
+                      self.box_match_cost * box_cost +
+                      self.giou_match_cost * giou_cost)
+
+        b, q = last_cls.shape[0], last_cls.shape[1]
+        matched = jax.pure_callback(
+            _hungarian_match_host,
+            jax.ShapeDtypeStruct((b, q), jnp.int32),
+            total_cost, gt_valid, vmap_method="sequential")
+        is_matched = matched >= 0
+        safe_matched = jnp.clip(matched, 0, None)
+        n_matched = jnp.clip(gt_valid.sum().astype(jnp.float32), 1.0, None)
+
+        # per-query targets
+        tgt_class = jnp.where(
+            is_matched,
+            jnp.take_along_axis(safe_class, safe_matched, axis=1),
+            self.num_classes)  # no-object index
+        tgt_boxes = jnp.take_along_axis(
+            gt_boxes, safe_matched[..., None], axis=1)  # [B,Q,4]
+
+        empty_weight = jnp.ones(self.num_classes + 1).at[-1].set(
+            self.no_object_cls_weight)
+        class_weights = empty_weight[tgt_class]  # [B,Q]
+
+        loss_dict = {}
+        n_layers = cls_preds.shape[0]
+        for idx in range(n_layers):
+            logp = jax.nn.log_softmax(cls_preds[idx], axis=-1)
+            nll = -jnp.take_along_axis(logp, tgt_class[..., None],
+                                       axis=-1)[..., 0]
+            # weighted mean (torch F.cross_entropy(weight=...)) semantics
+            cls_loss = (nll * class_weights).sum() / class_weights.sum()
+
+            diff = jnp.abs(reg_preds[idx] - tgt_boxes).sum(-1)
+            l1_loss = (diff * is_matched).sum() / n_matched
+
+            pred_xy = self._cxcywh_to_xyxy(reg_preds[idx])
+            tgt_xy = self._cxcywh_to_xyxy(tgt_boxes)
+            giou = self._pairwise_giou(
+                pred_xy.reshape(-1, 1, 4), tgt_xy.reshape(-1, 1, 4))[:, 0, 0]
+            giou = giou.reshape(b, q)
+            giou_loss = ((1.0 - giou) * is_matched).sum() / n_matched
+
+            loss_dict[f"layer_{idx}_cls_loss"] = \
+                self.cls_loss_weight * cls_loss
+            loss_dict[f"layer_{idx}_box_l1_loss"] = \
+                self.box_l1_loss_weight * l1_loss
+            loss_dict[f"layer_{idx}_box_iou_loss"] = \
+                self.iou_loss_weight * giou_loss
+        return loss_dict
+
+
+__all__.append("DETRLoss")

@@ -2,3 +2,4 @@
 
 from .retinanet import *  # noqa: F401,F403
 from .fcos import *  # noqa: F401,F403
+from .detr import *  # noqa: F401,F403
