@@ -55,6 +55,10 @@ class COCOMeanAveragePrecision:
     def __init__(self, iou_type="bbox"):
         assert iou_type == "bbox"
 
+    def _iou(self, d_list, g_list, g_crowd):
+        return _box_iou_xywh([d["bbox"] for d in d_list],
+                             [g["bbox"] for g in g_list], g_crowd)
+
     def evaluate(self, gts, dets, image_ids=None, category_ids=None):
         gts_by_key = defaultdict(list)
         dets_by_key = defaultdict(list)
@@ -84,12 +88,10 @@ class COCOMeanAveragePrecision:
                                 key=lambda x: -x["score"])[:max_det]
                 if not g_list and not d_list:
                     continue
-                g_boxes = [g["bbox"] for g in g_list]
                 g_crowd = [g.get("iscrowd", 0) for g in g_list]
                 g_area = [g.get("area", g["bbox"][2] * g["bbox"][3])
                           for g in g_list]
-                ious = _box_iou_xywh([d["bbox"] for d in d_list], g_boxes,
-                                     g_crowd)
+                ious = self._iou(d_list, g_list, g_crowd)
                 eval_imgs[(cat, img)] = (d_list, g_list, g_crowd, g_area,
                                          ious)
 
@@ -247,3 +249,28 @@ class COCOMeanAveragePrecision:
         if not recalls:
             return np.array([-1.0])
         return np.concatenate(recalls)
+
+
+class COCOMaskAveragePrecision(COCOMeanAveragePrecision):
+    """Segm-protocol mAP: IoU computed over binary masks carried in the
+    'mask' key of each det/gt dict (numpy [H,W] bool/float arrays, all in a
+    shared coordinate space). The reference uses pycocotools RLE
+    (tools/scripts.py:1505-1515); unavailable here, so mask IoU is computed
+    directly."""
+
+    def __init__(self):
+        pass
+
+    def _iou(self, d_list, g_list, g_crowd):
+        if not d_list or not g_list:
+            return np.zeros((len(d_list), len(g_list)))
+        d = np.stack([np.asarray(x["mask"], bool).reshape(-1)
+                      for x in d_list])
+        g = np.stack([np.asarray(x["mask"], bool).reshape(-1)
+                      for x in g_list])
+        inter = (d[:, None] & g[None]).sum(axis=-1).astype(np.float64)
+        d_area = d.sum(axis=-1).astype(np.float64)[:, None]
+        g_area = g.sum(axis=-1).astype(np.float64)[None]
+        union = np.where(np.asarray(g_crowd, bool)[None], d_area,
+                         d_area + g_area - inter)
+        return inter / np.clip(union, 1e-10, None)
