@@ -34,6 +34,7 @@ class RunContext:
 def run_training(config, work_dir: str, *,
                  build_loss_fn: Optional[Callable] = None,
                  build_eval: Optional[Callable] = None,
+                 init_fn: Optional[Callable] = None,
                  init_shape: Optional[tuple] = None,
                  extra_rngs: tuple = (),
                  higher_is_better: bool = True):
@@ -91,12 +92,16 @@ def run_training(config, work_dir: str, *,
     steps_per_epoch = len(train_loader)
 
     model = config.model
-    if init_shape is None:
-        s = getattr(config, "input_image_size", 224)
-        hw = (s, s) if isinstance(s, int) else tuple(s)
-        init_shape = (2, hw[0], hw[1], 3)
-    params, variables = init_model(model, init_shape,
-                                   jax.random.PRNGKey(config.seed))
+    if init_fn is not None:
+        params, variables = init_fn(model, config,
+                                    jax.random.PRNGKey(config.seed))
+    else:
+        if init_shape is None:
+            s = getattr(config, "input_image_size", 224)
+            hw = (s, s) if isinstance(s, int) else tuple(s)
+            init_shape = (2, hw[0], hw[1], 3)
+        params, variables = init_model(model, init_shape,
+                                       jax.random.PRNGKey(config.seed))
     params = apply_pretrained(model, params, logger)
     n_params = sum(np.prod(l.shape) for l in jax.tree.leaves(params))
     log(f"model params: {n_params / 1e6:.3f} M")

@@ -1,0 +1,177 @@
+"""SAM ViT image encoder, NHWC flax.
+
+Parity with /root/reference/SimpleAICV/interactive_segmentation/models/
+segment_anything/image_encoder.py: 16x16 patch embed, learned absolute pos
+embed over the 64x64 grid, transformer blocks with 14x14 windowed attention
+except 4 global-attention blocks, decomposed relative position bias
+(MViTv2-style separate H/W tables), LayerNorm2d neck to 256 channels.
+
+TPU notes: window partition is reshape/transpose (free under XLA); the
+window size 14 does not divide 64, so windows pad 64->70 exactly like the
+reference. Attention uses fused einsums with fp32 softmax; the rel-pos bias
+keeps global blocks on the XLA path (a biased pallas kernel is future
+work — at 4096 tokens XLA attention is already MXU-bound).
+"""
+
+from typing import Any, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def window_partition(x, window_size):
+    b, h, w, c = x.shape
+    pad_h = (window_size - h % window_size) % window_size
+    pad_w = (window_size - w % window_size) % window_size
+    if pad_h or pad_w:
+        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    hp, wp = h + pad_h, w + pad_w
+    x = x.reshape(b, hp // window_size, window_size, wp // window_size,
+                  window_size, c)
+    windows = x.transpose(0, 1, 3, 2, 4, 5).reshape(
+        -1, window_size, window_size, c)
+    return windows, (hp, wp)
+
+
+def window_unpartition(windows, window_size, pad_hw, hw):
+    hp, wp = pad_hw
+    h, w = hw
+    b = windows.shape[0] // (hp * wp // window_size // window_size)
+    x = windows.reshape(b, hp // window_size, wp // window_size,
+                        window_size, window_size, -1)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp, wp, -1)
+    return x[:, :h, :w]
+
+
+def get_rel_pos(q_size, k_size, rel_pos):
+    """Static-size rel-pos table lookup (sizes equal here, no resize)."""
+    import numpy as np
+    q_coords = np.arange(q_size)[:, None] * max(k_size / q_size, 1.0)
+    k_coords = np.arange(k_size)[None, :] * max(q_size / k_size, 1.0)
+    rel = (q_coords - k_coords) + (k_size - 1) * max(q_size / k_size, 1.0)
+    return rel_pos[jnp.asarray(rel.astype(np.int64))]
+
+
+class SAMAttention(nn.Module):
+    """MHSA over [B, H, W, C] with decomposed relative position bias."""
+    head_nums: int
+    input_size: Tuple[int, int]
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        nh = self.head_nums
+        hd = c // nh
+        qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(b, h * w, 3, nh, hd).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]  # [B, nh, HW, hd]
+
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                          preferred_element_type=jnp.float32) * (hd**-0.5)
+
+        rel_pos_h = self.param("rel_pos_h", nn.initializers.zeros,
+                               (2 * self.input_size[0] - 1, hd))
+        rel_pos_w = self.param("rel_pos_w", nn.initializers.zeros,
+                               (2 * self.input_size[1] - 1, hd))
+        rh = get_rel_pos(h, h, rel_pos_h.astype(jnp.float32))  # [h,h,hd]
+        rw = get_rel_pos(w, w, rel_pos_w.astype(jnp.float32))
+        rq = q.reshape(b, nh, h, w, hd).astype(jnp.float32)
+        rel_h = jnp.einsum("bnhwc,hkc->bnhwk", rq, rh)
+        rel_w = jnp.einsum("bnhwc,wkc->bnhwk", rq, rw)
+        attn = attn.reshape(b, nh, h, w, h, w) + \
+            rel_h[:, :, :, :, :, None] + rel_w[:, :, :, :, None, :]
+        attn = attn.reshape(b, nh, h * w, h * w)
+
+        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, h, w, c)
+        return nn.Dense(c, dtype=self.dtype, name="proj")(out)
+
+
+class SAMBlock(nn.Module):
+    head_nums: int
+    mlp_ratio: float = 4.0
+    input_size: Tuple[int, int] = (64, 64)
+    window_size: int = 0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        shortcut = x
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        if self.window_size > 0:
+            h, w = x.shape[1], x.shape[2]
+            x, pad_hw = window_partition(x, self.window_size)
+            attn_size = (self.window_size, self.window_size)
+        else:
+            attn_size = self.input_size
+        x = SAMAttention(self.head_nums, attn_size, self.dtype,
+                         name="attn")(x)
+        if self.window_size > 0:
+            x = window_unpartition(x, self.window_size, pad_hw, (h, w))
+        x = shortcut + x
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        y = nn.Dense(int(c * self.mlp_ratio), dtype=self.dtype,
+                     name="lin1")(y)
+        y = nn.Dense(c, dtype=self.dtype, name="lin2")(nn.gelu(y))
+        return x + y
+
+
+class LayerNorm2d(nn.Module):
+    """Channel layer norm over NHWC (reference LayerNorm2d on NCHW)."""
+    epsilon: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        weight = self.param("weight", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        u = x.mean(axis=-1, keepdims=True)
+        s = ((x - u)**2).mean(axis=-1, keepdims=True)
+        x = (x - u) / jnp.sqrt(s + self.epsilon)
+        return x * weight + bias
+
+
+class ViTImageEncoder(nn.Module):
+    image_size: int = 1024
+    patch_size: int = 16
+    embedding_planes: int = 768
+    block_nums: int = 12
+    head_nums: int = 12
+    mlp_ratio: float = 4.0
+    out_planes: int = 256
+    window_size: int = 14
+    global_attn_indexes: Sequence[int] = ()
+    use_gradient_checkpoint: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        grid = self.image_size // self.patch_size
+        x = nn.Conv(self.embedding_planes,
+                    (self.patch_size, self.patch_size),
+                    strides=(self.patch_size, self.patch_size),
+                    padding="VALID", dtype=self.dtype,
+                    name="patch_embedding")(x)
+        pos_embed = self.param("position_encoding", nn.initializers.zeros,
+                               (1, grid, grid, self.embedding_planes))
+        x = x + pos_embed.astype(x.dtype)
+
+        block = SAMBlock
+        if self.use_gradient_checkpoint:
+            block = nn.remat(SAMBlock)
+        for i in range(self.block_nums):
+            ws = 0 if i in self.global_attn_indexes else self.window_size
+            x = block(self.head_nums, self.mlp_ratio, (grid, grid), ws,
+                      self.dtype, name=f"block_{i}")(x)
+
+        x = nn.Conv(self.out_planes, (1, 1), use_bias=False,
+                    dtype=self.dtype, name="neck_conv1")(x)
+        x = LayerNorm2d(name="neck_ln1")(x)
+        x = nn.Conv(self.out_planes, (3, 3), padding=1, use_bias=False,
+                    dtype=self.dtype, name="neck_conv2")(x)
+        x = LayerNorm2d(name="neck_ln2")(x)
+        return x  # [B, grid, grid, out_planes]

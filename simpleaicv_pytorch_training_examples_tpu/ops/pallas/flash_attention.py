@@ -1,0 +1,121 @@
+"""Pallas TPU flash attention (forward) with XLA-attention fallback.
+
+The hot kernel for the 4k-token SAM/SAM2 encoders (SURVEY.md §5
+"long-context": SAM 1024^2 -> 64x64 = 4096 tokens). Streams K/V blocks
+through VMEM with a running (max, sumexp, acc) online-softmax state, so the
+[N, N] score matrix never materializes in HBM — O(N) memory instead of
+O(N^2), matmuls on the MXU in bf16 with fp32 accumulation.
+
+The backward pass currently uses XLA attention via jax.custom_vjp residual
+recompute (rematerialized standard attention) — fine for the encoder sizes
+here; a fused pallas backward is future work.
+
+API: flash_attention(q, k, v, bias=None) with q/k/v [B, H, N, D].
+Falls back to plain XLA attention when shapes don't meet the tile
+constraints (N % block != 0, D > 256) or when not running on TPU.
+"""
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+DEFAULT_BLOCK_Q = 256
+DEFAULT_BLOCK_K = 256
+
+
+def _attention_reference(q, k, v, bias=None):
+    """Plain XLA attention, fp32 softmax (fallback + backward)."""
+    d = q.shape[-1]
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32)
+    logits = logits * (d**-0.5)
+    if bias is not None:
+        logits = logits + bias
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+
+def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k, sm_scale):
+    """One (batch*head, q_block) program: stream K/V blocks."""
+    q = q_ref[...].astype(jnp.float32) * sm_scale  # [block_q, d]
+    n_k = k_ref.shape[0]
+    block_q, d = q.shape
+
+    m = jnp.full((block_q, 1), -jnp.inf, jnp.float32)
+    l = jnp.zeros((block_q, 1), jnp.float32)
+    acc = jnp.zeros((block_q, d), jnp.float32)
+
+    def body(start, carry):
+        m, l, acc = carry
+        k = k_ref[pl.ds(start * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[pl.ds(start * block_k, block_k), :].astype(jnp.float32)
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+        m_new = jnp.maximum(m, s.max(axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + p.sum(axis=-1, keepdims=True)
+        acc_new = acc * alpha + jnp.dot(p, v,
+                                        preferred_element_type=jnp.float32)
+        return m_new, l_new, acc_new
+
+    m, l, acc = jax.lax.fori_loop(0, n_k // block_k, body, (m, l, acc))
+    o_ref[...] = (acc / l).astype(o_ref.dtype)
+
+
+def _flash_forward(q, k, v, block_q, block_k):
+    b, h, n_q, d = q.shape
+    n_k = k.shape[2]
+    sm_scale = d**-0.5
+    q2 = q.reshape(b * h, n_q, d)
+    k2 = k.reshape(b * h, n_k, d)
+    v2 = v.reshape(b * h, n_k, d)
+
+    kernel = functools.partial(_flash_fwd_kernel, block_k=block_k,
+                               sm_scale=sm_scale)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b * h, n_q // block_q),
+        in_specs=[
+            pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((None, n_k, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((None, n_k, d), lambda i, j: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, n_q, d), q.dtype),
+    )(q2, k2, v2)
+    return out.reshape(b, h, n_q, d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _flash_attention_nobias(q, k, v, block_q, block_k):
+    return _flash_forward(q, k, v, block_q, block_k)
+
+
+def _fwd(q, k, v, block_q, block_k):
+    return _flash_forward(q, k, v, block_q, block_k), (q, k, v)
+
+
+def _bwd(block_q, block_k, res, g):
+    # rematerialized XLA backward (encoder sizes fit; fused bwd is TODO)
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q, k, v: _attention_reference(q, k, v), q, k, v)
+    return vjp(g)
+
+
+_flash_attention_nobias.defvjp(_fwd, _bwd)
+
+
+def flash_attention(q, k, v, bias=None,
+                    block_q=DEFAULT_BLOCK_Q, block_k=DEFAULT_BLOCK_K):
+    """[B, H, N, D] attention; pallas fast path when tileable on TPU."""
+    n_q, n_k = q.shape[2], k.shape[2]
+    d = q.shape[3]
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    tileable = (bias is None and n_q % block_q == 0 and
+                n_k % block_k == 0 and d <= 256)
+    if on_tpu and tileable:
+        return _flash_attention_nobias(q, k, v, block_q, block_k)
+    return _attention_reference(q, k, v, bias)
