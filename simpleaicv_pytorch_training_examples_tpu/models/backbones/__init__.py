@@ -13,3 +13,9 @@ from .van import (van_b0, van_b1, van_b2, van_b3, van_b4, van_b5, van_b6)
 from .convformer import (convformer_s18, convformer_s36, convformer_m36,
                          convformer_b36)
 from .vit import vit_base_patch16, vit_large_patch16, vit_huge_patch14
+from .dinov3_vit import (dinov3_vit_small_patch16_backbone,
+                         dinov3_vit_small_plus_patch16_backbone,
+                         dinov3_vit_base_patch16_backbone,
+                         dinov3_vit_large_patch16_backbone,
+                         dinov3_vit_large_plus_patch16_backbone,
+                         dinov3_vit_huge_plus_patch16_backbone)

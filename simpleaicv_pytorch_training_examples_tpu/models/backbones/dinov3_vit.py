@@ -1,0 +1,230 @@
+"""DINOv3 ViT backbone (axial RoPE, LayerScale, optional SwiGLU), NHWC flax.
+
+Parity with /root/reference/SimpleAICV/detection/models/backbones/
+dinov3vit.py:35-720 (DinoVisionTransformer): patch embed, period-based
+axial RoPE over normalized [-1,1] coords applied to the trailing H*W grid
+tokens (prefix tokens — e.g. injected queries — are left unrotated),
+pre-norm blocks with LayerScale residuals, final LayerNorm, output grid
+features [B, H/p, W/p, C].
+"""
+
+import math
+from typing import Any, Callable, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..common import trunc_normal
+
+__all__ = [
+    "DinoVisionTransformer",
+    "dinov3_vit_small_patch16_backbone",
+    "dinov3_vit_small_plus_patch16_backbone",
+    "dinov3_vit_base_patch16_backbone",
+    "dinov3_vit_large_patch16_backbone",
+    "dinov3_vit_large_plus_patch16_backbone",
+    "dinov3_vit_huge_plus_patch16_backbone",
+]
+
+
+def rope_sincos(h, w, head_planes, base=100.0):
+    """Axial RoPE tables: ([HW, head_planes], [HW, head_planes]) sin/cos."""
+    d4 = head_planes // 4
+    periods = base**(2 * np.arange(d4) / (head_planes // 2))
+    coords_h = (np.arange(0.5, h) / h) * 2.0 - 1.0
+    coords_w = (np.arange(0.5, w) / w) * 2.0 - 1.0
+    gh, gw = np.meshgrid(coords_h, coords_w, indexing="ij")
+    coords = np.stack([gh, gw], axis=-1).reshape(-1, 2)  # [HW, 2]
+    # [HW, 2, d4] angles
+    angles = 2 * math.pi * coords[:, :, None] / periods[None, None, :]
+    angles = angles.reshape(-1, 2 * d4)          # [HW, D/2]
+    angles = np.tile(angles, (1, 2))             # [HW, D]
+    return (jnp.asarray(np.sin(angles), jnp.float32),
+            jnp.asarray(np.cos(angles), jnp.float32))
+
+
+def rope_rotate_half(x):
+    half = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+
+
+def rope_apply(x, sin, cos):
+    return x * cos + rope_rotate_half(x) * sin
+
+
+class LayerScale(nn.Module):
+    init_values: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        gamma = self.param("gamma",
+                           nn.initializers.constant(self.init_values),
+                           (x.shape[-1],))
+        return x * gamma.astype(x.dtype)
+
+
+class SwiGLUFFN(nn.Module):
+    hidden_planes: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        h = (int(self.hidden_planes * 2 / 3) + 7) // 8 * 8
+        x12 = nn.Dense(2 * h, dtype=self.dtype, name="w12")(x)
+        x1, x2 = jnp.split(x12, 2, axis=-1)
+        return nn.Dense(c, dtype=self.dtype, name="w3")(nn.silu(x1) * x2)
+
+
+class DINOv3SelfAttention(nn.Module):
+    head_nums: int
+    qkv_bias: bool = True
+    proj_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, rope=None):
+        b, n, c = x.shape
+        nh = self.head_nums
+        hd = c // nh
+        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
+                       kernel_init=trunc_normal(0.02), name="qkv")(x)
+        qkv = qkv.reshape(b, n, 3, nh, hd).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]  # [B, nh, N, hd]
+        if rope is not None:
+            sin, cos = rope
+            hw = sin.shape[0]
+            prefix = n - hw
+            q = q.astype(jnp.float32)
+            k = k.astype(jnp.float32)
+            q = jnp.concatenate(
+                [q[:, :, :prefix], rope_apply(q[:, :, prefix:], sin, cos)],
+                axis=2).astype(self.dtype)
+            k = jnp.concatenate(
+                [k[:, :, :prefix], rope_apply(k[:, :, prefix:], sin, cos)],
+                axis=2).astype(self.dtype)
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                          preferred_element_type=jnp.float32) * (hd**-0.5)
+        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
+        return nn.Dense(c, use_bias=self.proj_bias, dtype=self.dtype,
+                        kernel_init=trunc_normal(0.02), name="proj")(out)
+
+
+class DINOv3Block(nn.Module):
+    head_nums: int
+    ffn_ratio: float = 4.0
+    layerscale_init: float = 1e-5
+    ffn_layer: str = "mlp"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, rope=None):
+        c = x.shape[-1]
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        h = DINOv3SelfAttention(self.head_nums, dtype=self.dtype,
+                                name="attn")(h, rope)
+        x = x + LayerScale(self.layerscale_init, name="ls1")(h)
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        if self.ffn_layer == "mlp":
+            h = nn.Dense(int(c * self.ffn_ratio), dtype=self.dtype,
+                         kernel_init=trunc_normal(0.02), name="mlp_fc1")(h)
+            h = nn.Dense(c, dtype=self.dtype,
+                         kernel_init=trunc_normal(0.02),
+                         name="mlp_fc2")(nn.gelu(h))
+        else:
+            h = SwiGLUFFN(int(c * self.ffn_ratio), self.dtype,
+                          name="swiglu")(h)
+        return x + LayerScale(self.layerscale_init, name="ls2")(h)
+
+
+class DinoVisionTransformer(nn.Module):
+    patch_size: int = 16
+    embedding_planes: int = 768
+    block_nums: int = 12
+    head_nums: int = 12
+    ffn_ratio: float = 4.0
+    ffn_layer: str = "mlp"
+    layerscale_init: float = 1e-5
+    rope_base: float = 100.0
+    use_gradient_checkpoint: bool = False
+    dtype: Any = jnp.float32
+
+    @property
+    def out_channels(self):
+        return self.embedding_planes
+
+    def rope_for(self, h, w):
+        return rope_sincos(h, w, self.embedding_planes // self.head_nums,
+                           self.rope_base)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, extra_tokens=None,
+                 extra_token_blocks: int = 0):
+        """x NHWC image. extra_tokens [B, Q, C] are concatenated in FRONT of
+        the grid tokens before the last `extra_token_blocks` blocks (the
+        universal-segmentation query injection,
+        reference universal_segmentation model :151-160).
+
+        Returns [B, H/p, W/p, C] grid features — or, with extra_tokens,
+        the [B, Q + HW, C] token stream after the final norm.
+        """
+        b = x.shape[0]
+        x = nn.Conv(self.embedding_planes,
+                    (self.patch_size, self.patch_size),
+                    strides=(self.patch_size, self.patch_size),
+                    padding="VALID", dtype=self.dtype,
+                    kernel_init=trunc_normal(0.02),
+                    name="patch_embedding")(x)
+        h, w = x.shape[1], x.shape[2]
+        x = x.reshape(b, h * w, self.embedding_planes)
+        rope = self.rope_for(h, w)
+
+        block_cls = DINOv3Block
+        if self.use_gradient_checkpoint:
+            block_cls = nn.remat(DINOv3Block)
+        inject_at = self.block_nums - extra_token_blocks \
+            if extra_tokens is not None else -1
+        for i in range(self.block_nums):
+            if i == inject_at:
+                x = jnp.concatenate(
+                    [extra_tokens.astype(x.dtype), x], axis=1)
+            x = block_cls(self.head_nums, self.ffn_ratio,
+                          self.layerscale_init, self.ffn_layer, self.dtype,
+                          name=f"block_{i}")(x, rope)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        if extra_tokens is not None:
+            return x  # [B, Q + HW, C]
+        return x.reshape(b, h, w, self.embedding_planes)
+
+
+def dinov3_vit_small_patch16_backbone(**kwargs):
+    return DinoVisionTransformer(16, 384, 12, 6, ffn_layer="mlp", **kwargs)
+
+
+def dinov3_vit_small_plus_patch16_backbone(**kwargs):
+    return DinoVisionTransformer(16, 384, 12, 6, ffn_layer="swiglu",
+                                 **kwargs)
+
+
+def dinov3_vit_base_patch16_backbone(**kwargs):
+    return DinoVisionTransformer(16, 768, 12, 12, ffn_layer="mlp", **kwargs)
+
+
+def dinov3_vit_large_patch16_backbone(**kwargs):
+    return DinoVisionTransformer(16, 1024, 24, 16, ffn_layer="mlp",
+                                 **kwargs)
+
+
+def dinov3_vit_large_plus_patch16_backbone(**kwargs):
+    return DinoVisionTransformer(16, 1024, 24, 16, ffn_layer="swiglu",
+                                 **kwargs)
+
+
+def dinov3_vit_huge_plus_patch16_backbone(**kwargs):
+    return DinoVisionTransformer(16, 1280, 32, 20, ffn_layer="swiglu",
+                                 **kwargs)
