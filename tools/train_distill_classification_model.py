@@ -1,6 +1,6 @@
 """Distillation training entry (KD / DML / L2 on a teacher-student pair).
 
-Parity with /root/reference/tools/train_distill_model.py +
+Parity with /root/reference/tools/train_distill_classification_model.py +
 tools/scripts.py:291-500: config provides a KDModel, a train_criterion dict
 {loss_name: loss}, and loss_ratio weights; CE-family losses hit the student
 (and teacher when not frozen) vs labels, pairwise losses hit (stu, tea).
