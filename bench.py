@@ -26,8 +26,11 @@ def main():
     from simpleaicv_pytorch_training_examples_tpu.engine import init_model
 
     batch_size = 128
+    # bf16 softmax: +45% serving throughput on v5e (see
+    # models/common.py::MultiHeadSelfAttention)
     model = backbones.vit_base_patch16(num_classes=1000,
-                                       dtype=jnp.bfloat16)
+                                       dtype=jnp.bfloat16,
+                                       softmax_dtype=jnp.bfloat16)
     params, variables = init_model(model, (2, 224, 224, 3),
                                    jax.random.PRNGKey(0))
 

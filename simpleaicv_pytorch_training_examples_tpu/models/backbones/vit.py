@@ -32,6 +32,7 @@ class TransformerEncoderLayer(nn.Module):
     dropout_prob: float = 0.0
     drop_path_prob: float = 0.0
     dtype: Any = jnp.float32
+    softmax_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -39,7 +40,8 @@ class TransformerEncoderLayer(nn.Module):
         dp = DropPath(self.drop_path_prob)
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         h = MultiHeadSelfAttention(self.head_nums, self.dropout_prob,
-                                   self.dtype, name="attn")(h, train)
+                                   self.dtype, self.softmax_dtype,
+                                   name="attn")(h, train)
         x = x + dp(h, train)
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         h = Mlp(c * self.feedforward_ratio, c, self.dropout_prob,
@@ -61,6 +63,7 @@ class ViT(nn.Module):
     num_classes: int = 1000
     use_gradient_checkpoint: bool = False
     dtype: Any = jnp.float32
+    softmax_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -94,7 +97,7 @@ class ViT(nn.Module):
                    self.drop_path_prob * i / max(self.block_nums - 1, 1))
             x = block(self.head_nums, self.feedforward_ratio,
                       self.dropout_prob, dpp, self.dtype,
-                      name=f"block_{i}")(x, train)
+                      self.softmax_dtype, name=f"block_{i}")(x, train)
 
         if self.global_pool:
             x = x[:, 1:, :].mean(axis=1)
