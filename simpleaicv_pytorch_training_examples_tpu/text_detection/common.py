@@ -174,3 +174,15 @@ class TextDetectionCollater:
         out = {"image": images, "size": sizes}
         out.update(shapes)
         return out
+
+
+class TextDetectionEvalCollater(TextDetectionCollater):
+    """Eval-time collater: also carries the raw gt polygons + ignore flags
+    (host-side lists, consumed by the DetEval metric — reference
+    text_scripts.py:1150-1228 keeps `shapes` alongside the tensors)."""
+
+    def __call__(self, samples):
+        out = super().__call__(samples)
+        out["gt_polys"] = [s["annots"]["boxes"] for s in samples]
+        out["gt_ignores"] = [s["annots"]["ignores"] for s in samples]
+        return out

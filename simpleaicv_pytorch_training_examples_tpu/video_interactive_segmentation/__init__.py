@@ -1,2 +1,3 @@
 from . import losses
+from . import losses_matting
 from . import models

@@ -1,0 +1,141 @@
+"""SAM2 video matting dataset + collaters.
+
+Capability parity with /root/reference/SimpleAICV/
+video_interactive_segmentation/datasets/sam2_video_matting_dataset.py and
+sam2_image_matting_dataset.py (core mechanics): clips of T frames with
+per-frame alpha mattes for one tracked object, per-frame trimaps derived
+by erosion/dilation, frame-0 point-prompt synthesis from the binarized
+alpha. Image matting datasets mix in as 1-frame clips.
+
+Disk layout: root/<set_name>/<set_type>/<video_id>/ with 00000.jpg ... and
+00000_alpha.png ... per frame.
+"""
+
+import os
+
+import numpy as np
+
+from ...interactive_segmentation.datasets.sam_segmentation_dataset import (
+    load_points)
+
+__all__ = ["SAM2VideoMattingDataset", "SAM2VideoMattingCollater",
+           "SAM2ImageMattingCollater"]
+
+
+def _make_trimap(alpha, kernel_size=15):
+    """alpha [H,W] in [0,1] -> trimap in {0, 128, 255} (same recipe as
+    human_matting_dataset._make_trimap)."""
+    import cv2
+    kernel = np.ones((kernel_size, kernel_size), np.uint8)
+    fg = (alpha > 0.95).astype(np.uint8)
+    unknown = ((alpha > 0.05) & (alpha <= 0.95)).astype(np.uint8)
+    fg_eroded = cv2.erode(fg, kernel)
+    unknown_dilated = cv2.dilate(unknown | (fg - fg_eroded), kernel)
+    trimap = np.zeros_like(alpha, np.float32)
+    trimap[unknown_dilated > 0] = 128.0
+    trimap[fg_eroded > 0] = 255.0
+    return trimap
+
+
+class SAM2VideoMattingDataset:
+
+    def __init__(self, root_dir, set_name_list=(), set_type="train",
+                 frame_nums=8, transform=None):
+        self.transform = transform
+        self.frame_nums = frame_nums
+        self.videos = []
+        for set_name in set_name_list:
+            set_dir = os.path.join(root_dir, set_name, set_type)
+            if not os.path.isdir(set_dir):
+                continue
+            for vid in sorted(os.listdir(set_dir)):
+                vdir = os.path.join(set_dir, vid)
+                if not os.path.isdir(vdir):
+                    continue
+                frames = sorted(n for n in os.listdir(vdir)
+                                if n.endswith(".jpg"))
+                if len(frames) >= 1:
+                    self.videos.append((vdir, frames))
+
+    def __len__(self):
+        return len(self.videos)
+
+    def __getitem__(self, idx):
+        import cv2
+        vdir, frames = self.videos[idx]
+        t = self.frame_nums
+        if len(frames) >= t:
+            start = np.random.randint(0, len(frames) - t + 1)
+            chosen = frames[start:start + t]
+        else:
+            chosen = frames + [frames[-1]] * (t - len(frames))
+        images, alphas = [], []
+        for name in chosen:
+            img = cv2.cvtColor(cv2.imread(os.path.join(vdir, name)),
+                               cv2.COLOR_BGR2RGB).astype(np.float32)
+            alpha_path = os.path.join(vdir,
+                                      name.rsplit(".", 1)[0] + "_alpha.png")
+            if os.path.exists(alpha_path):
+                a = cv2.imread(alpha_path,
+                               cv2.IMREAD_GRAYSCALE).astype(np.float32)
+                a = a / 255.0
+            else:
+                a = np.zeros(img.shape[:2], np.float32)
+            images.append(img)
+            alphas.append(a)
+        sample = {"images": images, "alphas": alphas}
+        if self.transform is not None:
+            sample = self.transform(sample)
+        return sample
+
+
+class SAM2VideoMattingCollater:
+    """Fixed-shape video batch: per-frame alpha + trimap, frame-0 point
+    prompt from the binarized alpha."""
+
+    def __init__(self, resize=1024, frame_nums=8, n_points=2):
+        self.resize = resize
+        self.frame_nums = frame_nums
+        self.n_points = n_points
+
+    def __call__(self, samples):
+        import cv2
+        n = len(samples)
+        r = self.resize
+        t = self.frame_nums
+        images = np.zeros((n, t, r, r, 3), np.float32)
+        alphas = np.zeros((n, t, r, r), np.float32)
+        trimaps = np.zeros((n, t, r, r), np.float32)
+        points = np.full((n, self.n_points, 3), -1.0, np.float32)
+        for i, s in enumerate(samples):
+            for f, (img, a) in enumerate(zip(s["images"][:t],
+                                             s["alphas"][:t])):
+                h, w = img.shape[:2]
+                factor = r / max(h, w)
+                rh, rw = int(round(h * factor)), int(round(w * factor))
+                images[i, f, :rh, :rw] = cv2.resize(img, (rw, rh)) / 255.0
+                alphas[i, f, :rh, :rw] = cv2.resize(a, (rw, rh))
+                trimaps[i, f] = _make_trimap(alphas[i, f])
+            k = np.random.randint(1, self.n_points + 1)
+            pts = load_points((alphas[i, 0] > 0.5).astype(np.float32), k)
+            points[i, :k] = pts[:k]
+        return {"image": images, "alpha": alphas, "trimap": trimaps,
+                "prompt_point": points}
+
+
+class SAM2ImageMattingCollater(SAM2VideoMattingCollater):
+    """1-frame clips for image matting datasets (reference
+    sam2_image_matting_dataset.py): squeezes the time axis."""
+
+    def __init__(self, resize=1024, n_points=9):
+        super().__init__(resize=resize, frame_nums=1, n_points=n_points)
+
+    def __call__(self, samples):
+        for s in samples:
+            if "image" in s and "images" not in s:  # image-dataset sample
+                s["images"] = [s["image"]]
+                s["alphas"] = [s["mask"]]
+        out = super().__call__(samples)
+        return {"image": out["image"][:, 0], "alpha": out["alpha"][:, 0],
+                "trimap": out["trimap"][:, 0],
+                "prompt_point": out["prompt_point"]}

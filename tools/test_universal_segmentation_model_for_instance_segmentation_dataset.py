@@ -1,0 +1,21 @@
+"""Universal segmentation eval on an instance-segmentation dataset
+(parity with /root/reference/tools/
+test_universal_segmentation_model_for_instance_segmentation_dataset.py)."""
+
+import argparse
+
+from _test_common import run_test
+from universal_segmentation_test_common import instance_eval
+
+
+def main():
+    parser = argparse.ArgumentParser(
+        description="test universal segmentation model "
+                    "(instance segmentation dataset)")
+    parser.add_argument("--work-dir", type=str, required=True)
+    args = parser.parse_args()
+    return run_test(args.work_dir, instance_eval)
+
+
+if __name__ == "__main__":
+    main()
