@@ -18,6 +18,12 @@ from .head import FCOSClsRegCntHead
 __all__ = [
     "resnet18_fcos", "resnet34_fcos", "resnet50_fcos", "resnet101_fcos",
     "resnet152_fcos", "vanb2_fcos", "convformerm36_fcos",
+    "dinov3_vit_small_patch16_fcos",
+    "dinov3_vit_small_plus_patch16_fcos",
+    "dinov3_vit_base_patch16_fcos",
+    "dinov3_vit_large_patch16_fcos",
+    "dinov3_vit_large_plus_patch16_fcos",
+    "dinov3_vit_huge_plus_patch16_fcos",
 ]
 
 
@@ -87,3 +93,29 @@ def vanb2_fcos(backbone_pretrained_path="", **kwargs):
 
 def convformerm36_fcos(backbone_pretrained_path="", **kwargs):
     return _fcos("convformer_m36", backbone_pretrained_path, **kwargs)
+
+# DINOv3 ViT backbones via the VitPyramidNeck multi-scale wrapper# (reference dinov3_vit_fcos.py factories)
+
+def dinov3_vit_small_patch16_fcos(backbone_pretrained_path="", **kwargs):
+    return _fcos("dinov3_vit_small_patch16_det_backbone",
+        backbone_pretrained_path, **kwargs)
+
+def dinov3_vit_small_plus_patch16_fcos(backbone_pretrained_path="", **kwargs):
+    return _fcos("dinov3_vit_small_plus_patch16_det_backbone",
+        backbone_pretrained_path, **kwargs)
+
+def dinov3_vit_base_patch16_fcos(backbone_pretrained_path="", **kwargs):
+    return _fcos("dinov3_vit_base_patch16_det_backbone",
+        backbone_pretrained_path, **kwargs)
+
+def dinov3_vit_large_patch16_fcos(backbone_pretrained_path="", **kwargs):
+    return _fcos("dinov3_vit_large_patch16_det_backbone",
+        backbone_pretrained_path, **kwargs)
+
+def dinov3_vit_large_plus_patch16_fcos(backbone_pretrained_path="", **kwargs):
+    return _fcos("dinov3_vit_large_plus_patch16_det_backbone",
+        backbone_pretrained_path, **kwargs)
+
+def dinov3_vit_huge_plus_patch16_fcos(backbone_pretrained_path="", **kwargs):
+    return _fcos("dinov3_vit_huge_plus_patch16_det_backbone",
+        backbone_pretrained_path, **kwargs)

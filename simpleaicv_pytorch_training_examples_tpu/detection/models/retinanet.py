@@ -18,6 +18,12 @@ __all__ = [
     "resnet18_retinanet", "resnet34_retinanet", "resnet50_retinanet",
     "resnet101_retinanet", "resnet152_retinanet",
     "vanb2_retinanet", "convformerm36_retinanet",
+    "dinov3_vit_small_patch16_retinanet",
+    "dinov3_vit_small_plus_patch16_retinanet",
+    "dinov3_vit_base_patch16_retinanet",
+    "dinov3_vit_large_patch16_retinanet",
+    "dinov3_vit_large_plus_patch16_retinanet",
+    "dinov3_vit_huge_plus_patch16_retinanet",
 ]
 
 
@@ -83,3 +89,29 @@ def vanb2_retinanet(backbone_pretrained_path="", **kwargs):
 
 def convformerm36_retinanet(backbone_pretrained_path="", **kwargs):
     return _retinanet("convformer_m36", backbone_pretrained_path, **kwargs)
+
+# DINOv3 ViT backbones via the VitPyramidNeck multi-scale wrapper# (reference dinov3_vit_retinanet.py factories)
+
+def dinov3_vit_small_patch16_retinanet(backbone_pretrained_path="", **kwargs):
+    return _retinanet("dinov3_vit_small_patch16_det_backbone",
+        backbone_pretrained_path, **kwargs)
+
+def dinov3_vit_small_plus_patch16_retinanet(backbone_pretrained_path="", **kwargs):
+    return _retinanet("dinov3_vit_small_plus_patch16_det_backbone",
+        backbone_pretrained_path, **kwargs)
+
+def dinov3_vit_base_patch16_retinanet(backbone_pretrained_path="", **kwargs):
+    return _retinanet("dinov3_vit_base_patch16_det_backbone",
+        backbone_pretrained_path, **kwargs)
+
+def dinov3_vit_large_patch16_retinanet(backbone_pretrained_path="", **kwargs):
+    return _retinanet("dinov3_vit_large_patch16_det_backbone",
+        backbone_pretrained_path, **kwargs)
+
+def dinov3_vit_large_plus_patch16_retinanet(backbone_pretrained_path="", **kwargs):
+    return _retinanet("dinov3_vit_large_plus_patch16_det_backbone",
+        backbone_pretrained_path, **kwargs)
+
+def dinov3_vit_huge_plus_patch16_retinanet(backbone_pretrained_path="", **kwargs):
+    return _retinanet("dinov3_vit_huge_plus_patch16_det_backbone",
+        backbone_pretrained_path, **kwargs)

@@ -21,6 +21,12 @@ from ...models import backbones as cls_backbones
 __all__ = [
     "resnet18_solov2", "resnet34_solov2", "resnet50_solov2",
     "resnet101_solov2", "resnet152_solov2",
+    "dinov3_vit_small_patch16_solov2",
+    "dinov3_vit_small_plus_patch16_solov2",
+    "dinov3_vit_base_patch16_solov2",
+    "dinov3_vit_large_patch16_solov2",
+    "dinov3_vit_large_plus_patch16_solov2",
+    "dinov3_vit_huge_plus_patch16_solov2",
 ]
 
 _PRIOR_BIAS = -math.log((1.0 - 0.01) / 0.01)
@@ -215,3 +221,29 @@ def resnet101_solov2(backbone_pretrained_path="", **kwargs):
 
 def resnet152_solov2(backbone_pretrained_path="", **kwargs):
     return _solov2("resnet152", backbone_pretrained_path, **kwargs)
+
+# DINOv3 ViT backbones via the VitPyramidNeck multi-scale wrapper# (reference dinov3_vit_solov2.py factories)
+
+def dinov3_vit_small_patch16_solov2(backbone_pretrained_path="", **kwargs):
+    return _solov2("dinov3_vit_small_patch16_det_backbone",
+        backbone_pretrained_path, **kwargs)
+
+def dinov3_vit_small_plus_patch16_solov2(backbone_pretrained_path="", **kwargs):
+    return _solov2("dinov3_vit_small_plus_patch16_det_backbone",
+        backbone_pretrained_path, **kwargs)
+
+def dinov3_vit_base_patch16_solov2(backbone_pretrained_path="", **kwargs):
+    return _solov2("dinov3_vit_base_patch16_det_backbone",
+        backbone_pretrained_path, **kwargs)
+
+def dinov3_vit_large_patch16_solov2(backbone_pretrained_path="", **kwargs):
+    return _solov2("dinov3_vit_large_patch16_det_backbone",
+        backbone_pretrained_path, **kwargs)
+
+def dinov3_vit_large_plus_patch16_solov2(backbone_pretrained_path="", **kwargs):
+    return _solov2("dinov3_vit_large_plus_patch16_det_backbone",
+        backbone_pretrained_path, **kwargs)
+
+def dinov3_vit_huge_plus_patch16_solov2(backbone_pretrained_path="", **kwargs):
+    return _solov2("dinov3_vit_huge_plus_patch16_det_backbone",
+        backbone_pretrained_path, **kwargs)

@@ -22,6 +22,12 @@ from ...models import backbones as cls_backbones
 __all__ = [
     "resnet18_yolact", "resnet34_yolact", "resnet50_yolact",
     "resnet101_yolact", "resnet152_yolact", "YOLACTAnchors",
+    "dinov3_vit_small_patch16_yolact",
+    "dinov3_vit_small_plus_patch16_yolact",
+    "dinov3_vit_base_patch16_yolact",
+    "dinov3_vit_large_patch16_yolact",
+    "dinov3_vit_large_plus_patch16_yolact",
+    "dinov3_vit_huge_plus_patch16_yolact",
 ]
 
 
@@ -181,3 +187,29 @@ def resnet101_yolact(backbone_pretrained_path="", **kwargs):
 
 def resnet152_yolact(backbone_pretrained_path="", **kwargs):
     return _yolact("resnet152", backbone_pretrained_path, **kwargs)
+
+# DINOv3 ViT backbones via the VitPyramidNeck multi-scale wrapper# (reference dinov3_vit_yolact.py factories)
+
+def dinov3_vit_small_patch16_yolact(backbone_pretrained_path="", **kwargs):
+    return _yolact("dinov3_vit_small_patch16_det_backbone",
+        backbone_pretrained_path, **kwargs)
+
+def dinov3_vit_small_plus_patch16_yolact(backbone_pretrained_path="", **kwargs):
+    return _yolact("dinov3_vit_small_plus_patch16_det_backbone",
+        backbone_pretrained_path, **kwargs)
+
+def dinov3_vit_base_patch16_yolact(backbone_pretrained_path="", **kwargs):
+    return _yolact("dinov3_vit_base_patch16_det_backbone",
+        backbone_pretrained_path, **kwargs)
+
+def dinov3_vit_large_patch16_yolact(backbone_pretrained_path="", **kwargs):
+    return _yolact("dinov3_vit_large_patch16_det_backbone",
+        backbone_pretrained_path, **kwargs)
+
+def dinov3_vit_large_plus_patch16_yolact(backbone_pretrained_path="", **kwargs):
+    return _yolact("dinov3_vit_large_plus_patch16_det_backbone",
+        backbone_pretrained_path, **kwargs)
+
+def dinov3_vit_huge_plus_patch16_yolact(backbone_pretrained_path="", **kwargs):
+    return _yolact("dinov3_vit_huge_plus_patch16_det_backbone",
+        backbone_pretrained_path, **kwargs)

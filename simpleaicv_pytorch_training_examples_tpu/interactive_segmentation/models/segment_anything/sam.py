@@ -34,20 +34,31 @@ class SAM(nn.Module):
     binary_mask_out: bool = False
     mask_threshold: float = 0.0
     use_gradient_checkpoint: bool = False
+    # "sam_vit" or a DINOv3 backbone registry name (reference
+    # dinov3_segment_anything/dinov3_sam.py swaps only the encoder)
+    image_encoder_type: str = "sam_vit"
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.image_encoder = ViTImageEncoder(
-            image_size=self.image_size,
-            patch_size=self.patch_size,
-            embedding_planes=self.image_encoder_embedding_planes,
-            block_nums=self.image_encoder_block_nums,
-            head_nums=self.image_encoder_head_nums,
-            out_planes=self.prompt_encoder_embedding_planes,
-            window_size=14,
-            global_attn_indexes=self.image_encoder_global_attn_indexes,
-            use_gradient_checkpoint=self.use_gradient_checkpoint,
-            dtype=self.dtype)
+        if self.image_encoder_type != "sam_vit":
+            from ..dinov3_segment_anything import DINOv3SAMImageEncoder
+            self.image_encoder = DINOv3SAMImageEncoder(
+                backbone_type=self.image_encoder_type,
+                out_planes=self.prompt_encoder_embedding_planes,
+                use_gradient_checkpoint=self.use_gradient_checkpoint,
+                dtype=self.dtype)
+        else:
+            self.image_encoder = ViTImageEncoder(
+                image_size=self.image_size,
+                patch_size=self.patch_size,
+                embedding_planes=self.image_encoder_embedding_planes,
+                block_nums=self.image_encoder_block_nums,
+                head_nums=self.image_encoder_head_nums,
+                out_planes=self.prompt_encoder_embedding_planes,
+                window_size=14,
+                global_attn_indexes=self.image_encoder_global_attn_indexes,
+                use_gradient_checkpoint=self.use_gradient_checkpoint,
+                dtype=self.dtype)
         self.prompt_encoder = PromptEncoder(
             image_size=self.image_size, patch_size=self.patch_size,
             embedding_planes=self.prompt_encoder_embedding_planes,

@@ -18,4 +18,11 @@ from .dinov3_vit import (dinov3_vit_small_patch16_backbone,
                          dinov3_vit_base_patch16_backbone,
                          dinov3_vit_large_patch16_backbone,
                          dinov3_vit_large_plus_patch16_backbone,
-                         dinov3_vit_huge_plus_patch16_backbone)
+                         dinov3_vit_huge_plus_patch16_backbone,
+                         dinov3_vit_small_patch16_det_backbone,
+                         dinov3_vit_small_plus_patch16_det_backbone,
+                         dinov3_vit_base_patch16_det_backbone,
+                         dinov3_vit_large_patch16_det_backbone,
+                         dinov3_vit_large_plus_patch16_det_backbone,
+                         dinov3_vit_huge_plus_patch16_det_backbone,
+                         DINOv3MultiScaleBackbone, VitPyramidNeck)

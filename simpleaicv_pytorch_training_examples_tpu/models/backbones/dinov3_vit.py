@@ -228,3 +228,87 @@ def dinov3_vit_large_plus_patch16_backbone(**kwargs):
 def dinov3_vit_huge_plus_patch16_backbone(**kwargs):
     return DinoVisionTransformer(16, 1280, 32, 20, ffn_layer="swiglu",
                                  **kwargs)
+
+
+class VitPyramidNeck(nn.Module):
+    """Single-scale /16 grid -> 4-level pyramid (/4, /8, /16, /32), uniform
+    channel width (reference detection/models/backbones/vit.py:27-80
+    VitPyramidNeck; ViTDet-style simple feature pyramid)."""
+    planes: int = 256
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        p2 = nn.gelu(nn.ConvTranspose(self.planes, (2, 2), strides=(2, 2),
+                                      dtype=self.dtype,
+                                      name="p2_up1")(x))
+        p2 = nn.gelu(nn.ConvTranspose(self.planes, (2, 2), strides=(2, 2),
+                                      dtype=self.dtype, name="p2_up2")(p2))
+        p3 = nn.gelu(nn.ConvTranspose(self.planes, (2, 2), strides=(2, 2),
+                                      dtype=self.dtype, name="p3_up")(x))
+        p4 = nn.gelu(nn.Conv(self.planes, (1, 1), dtype=self.dtype,
+                             name="p4_conv")(x))
+        # uniform width: pool the projected /16 map rather than the raw
+        # ViT grid (the reference pools the grid and carries the ViT width
+        # into its FPN; uniform planes keeps every consumer shape-stable)
+        p5 = nn.max_pool(p4, (2, 2), strides=(2, 2))
+        return p2, p3, p4, p5
+
+
+class DINOv3MultiScaleBackbone(nn.Module):
+    """DINOv3 ViT + VitPyramidNeck, presenting the CNN-backbone interface
+    (`__call__(x, train, return_features=True)` -> 4 feature maps) so
+    dinov3 drops into every task head that takes a `backbone_type` string
+    (reference dinov3_vit_retinanet.py:44-69 et al)."""
+    embedding_planes: int = 768
+    block_nums: int = 12
+    head_nums: int = 12
+    ffn_layer: str = "mlp"
+    patch_size: int = 16
+    planes: int = 256
+    use_gradient_checkpoint: bool = False
+    dtype: Any = jnp.float32
+
+    @property
+    def out_channels(self):
+        return [self.planes] * 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, return_features: bool = True):
+        grid = DinoVisionTransformer(
+            patch_size=self.patch_size,
+            embedding_planes=self.embedding_planes,
+            block_nums=self.block_nums, head_nums=self.head_nums,
+            ffn_layer=self.ffn_layer,
+            use_gradient_checkpoint=self.use_gradient_checkpoint,
+            dtype=self.dtype, name="vit")(x, train=train)
+        feats = VitPyramidNeck(self.planes, dtype=self.dtype,
+                               name="neck")(grid)
+        if return_features:
+            return feats
+        return feats[-1]
+
+
+_DINOV3_DET_SIZES = {
+    "dinov3_vit_small_patch16": dict(embedding_planes=384, block_nums=12,
+                                     head_nums=6, ffn_layer="mlp"),
+    "dinov3_vit_small_plus_patch16": dict(embedding_planes=384,
+                                          block_nums=12, head_nums=6,
+                                          ffn_layer="swiglu"),
+    "dinov3_vit_base_patch16": dict(embedding_planes=768, block_nums=12,
+                                    head_nums=12, ffn_layer="mlp"),
+    "dinov3_vit_large_patch16": dict(embedding_planes=1024, block_nums=24,
+                                     head_nums=16, ffn_layer="mlp"),
+    "dinov3_vit_large_plus_patch16": dict(embedding_planes=1024,
+                                          block_nums=24, head_nums=16,
+                                          ffn_layer="swiglu"),
+    "dinov3_vit_huge_plus_patch16": dict(embedding_planes=1280,
+                                         block_nums=32, head_nums=20,
+                                         ffn_layer="swiglu"),
+}
+
+for _name, _cfg in _DINOV3_DET_SIZES.items():
+    def _det_factory(_cfg=_cfg, **kwargs):
+        return DINOv3MultiScaleBackbone(**{**_cfg, **kwargs})
+    globals()[f"{_name}_det_backbone"] = _det_factory
+__all__ += [f"{n}_det_backbone" for n in _DINOV3_DET_SIZES]

@@ -219,6 +219,17 @@ _BACKBONE_PLANES = {
     "vanb3": "van_b3",
     "convformers18": "convformer_s18", "convformers36": "convformer_s36",
     "convformerm36": "convformer_m36", "convformerb36": "convformer_b36",
+    # DINOv3 ViT + VitPyramidNeck multi-scale wrappers (reference
+    # dinov3_vit_pfan_*.py variants in every dense-prediction family)
+    "dinov3_vit_small_patch16": "dinov3_vit_small_patch16_det_backbone",
+    "dinov3_vit_small_plus_patch16":
+        "dinov3_vit_small_plus_patch16_det_backbone",
+    "dinov3_vit_base_patch16": "dinov3_vit_base_patch16_det_backbone",
+    "dinov3_vit_large_patch16": "dinov3_vit_large_patch16_det_backbone",
+    "dinov3_vit_large_plus_patch16":
+        "dinov3_vit_large_plus_patch16_det_backbone",
+    "dinov3_vit_huge_plus_patch16":
+        "dinov3_vit_huge_plus_patch16_det_backbone",
 }
 
 

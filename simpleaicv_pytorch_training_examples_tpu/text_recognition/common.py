@@ -149,3 +149,196 @@ class KeepRatioResizeTextRecognitionCollater:
         targets, lengths = self.converter.encode(texts)
         return {"image": images, "target": targets,
                 "target_length": lengths}
+
+
+def warp_mls(image, src_pts, dst_pts, grid_size=100, trans_ratio=1.0):
+    """Moving-least-squares similarity deformation (vectorized).
+
+    Capability parity with the reference's WarpMLS
+    (/root/reference/SimpleAICV/text_recognition/common.py:171-327, itself
+    from the public RubanSeven/Text-Image-Augmentation-python): the MLS
+    similarity backward map is evaluated on a coarse node grid, bilinearly
+    densified, and the image is resampled. This implementation batches all
+    grid nodes through one numpy einsum pass instead of nested per-node
+    loops, and resamples with cv2.remap.
+    """
+    import cv2
+    h, w = image.shape[:2]
+    p = np.asarray(dst_pts, np.float64)  # control points in the output
+    q = np.asarray(src_pts, np.float64)  # where they come from in the src
+    if len(p) < 2:
+        return image.astype(np.float32)
+
+    gx = np.unique(np.clip(np.arange(0, w + grid_size, grid_size), 0, w - 1))
+    gy = np.unique(np.clip(np.arange(0, h + grid_size, grid_size), 0, h - 1))
+    nx_, ny_ = np.meshgrid(gx, gy)                      # [Gy, Gx]
+    nodes = np.stack([nx_.ravel(), ny_.ravel()], 1)     # [N, 2]
+
+    d2 = ((nodes[:, None, :] - p[None]) ** 2).sum(-1)   # [N, K]
+    exact = d2 < 1e-8                                   # node == control pt
+    wgt = 1.0 / np.maximum(d2, 1e-8)                    # [N, K]
+    sw = wgt.sum(1, keepdims=True)
+    pstar = (wgt[..., None] * p[None]).sum(1) / sw      # [N, 2]
+    qstar = (wgt[..., None] * q[None]).sum(1) / sw
+    phat = p[None] - pstar[:, None]                     # [N, K, 2]
+    cur = nodes - pstar                                 # [N, 2]
+    mu = (wgt * (phat ** 2).sum(-1)).sum(1)             # [N]
+    mu = np.maximum(mu, 1e-8)
+
+    def perp(v):
+        return np.stack([-v[..., 1], v[..., 0]], -1)
+
+    phat_j = perp(phat)
+    cur_j = perp(cur)
+    a = (phat * cur[:, None]).sum(-1)                   # pt_i . cur  [N,K]
+    b = (phat_j * cur[:, None]).sum(-1)                 # pt_j . cur
+    c = (phat * cur_j[:, None]).sum(-1)                 # pt_i . cur_j
+    d = (phat_j * cur_j[:, None]).sum(-1)               # pt_j . cur_j
+    new_x = (wgt * (a * q[None, :, 0] - b * q[None, :, 1])).sum(1) / mu
+    new_y = (wgt * (-c * q[None, :, 0] + d * q[None, :, 1])).sum(1) / mu
+    new = np.stack([new_x, new_y], 1) + qstar           # [N, 2]
+
+    # nodes that coincide with a control point map straight to its source
+    hit = exact.any(1)
+    if hit.any():
+        new[hit] = q[exact.argmax(1)[hit]]
+
+    delta = (new - nodes).reshape(len(gy), len(gx), 2)
+
+    # densify the sparse node grid (cells may be ragged at the borders)
+    xs = np.arange(w, dtype=np.float64)
+    ys = np.arange(h, dtype=np.float64)
+    ix = np.clip(np.searchsorted(gx, xs, "right") - 1, 0, len(gx) - 2)
+    iy = np.clip(np.searchsorted(gy, ys, "right") - 1, 0, len(gy) - 2)
+    fx = (xs - gx[ix]) / np.maximum(gx[ix + 1] - gx[ix], 1e-8)
+    fy = (ys - gy[iy]) / np.maximum(gy[iy + 1] - gy[iy], 1e-8)
+    d00 = delta[iy][:, ix]
+    d01 = delta[iy][:, ix + 1]
+    d10 = delta[iy + 1][:, ix]
+    d11 = delta[iy + 1][:, ix + 1]
+    fyg = fy[:, None, None]
+    fxg = fx[None, :, None]
+    dense = (d00 * (1 - fyg) * (1 - fxg) + d01 * (1 - fyg) * fxg +
+             d10 * fyg * (1 - fxg) + d11 * fyg * fxg)  # [h, w, 2]
+
+    map_x = (xs[None, :] + dense[..., 0] * trans_ratio).astype(np.float32)
+    map_y = (ys[:, None] + dense[..., 1] * trans_ratio).astype(np.float32)
+    out = cv2.remap(image.astype(np.float32), map_x, map_y,
+                    cv2.INTER_LINEAR, borderMode=cv2.BORDER_REPLICATE)
+    return np.clip(out, 0, 255).astype(np.float32)
+
+
+def _text_segments(label_len, img_w):
+    """Segment count heuristic shared by Distort/Stretch (reference
+    common.py:349-356)."""
+    if label_len < 20:
+        seg = label_len
+    elif label_len < 40:
+        seg = label_len // 2
+    else:
+        seg = label_len // 4
+    return max(int(seg), 1)
+
+
+class Distort:
+    """MLS jitter of the 4 corners + per-segment edge points (reference
+    common.py:327-405)."""
+
+    def __init__(self, prob=0.2):
+        self.prob = prob
+
+    def __call__(self, sample):
+        if np.random.uniform() > self.prob:
+            return sample
+        img = sample["image"]
+        h, w = img.shape[:2]
+        if w < 3 * h or len(sample["label"]) < 3:
+            return sample
+        seg = _text_segments(len(sample["label"]), w)
+        cut = w // seg
+        thresh = cut // 3
+        if thresh <= 0:
+            return sample
+        r = lambda: np.random.randint(thresh)
+        src = [[0, 0], [w, 0], [w, h], [0, h]]
+        dst = [[r(), r()], [w - r(), r()], [w - r(), h - r()],
+               [r(), h - r()]]
+        half = thresh * 0.5
+        for k in range(1, seg):
+            src += [[cut * k, 0], [cut * k, h]]
+            dst += [[cut * k + r() - half, r() - half],
+                    [cut * k + r() - half, h + r() - half]]
+        sample["image"] = warp_mls(img, src, dst)
+        sample["size"] = np.array(sample["image"].shape[:2], np.float32)
+        return sample
+
+
+class Stretch:
+    """MLS horizontal jitter of per-segment edge points (reference
+    common.py:408-473)."""
+
+    def __init__(self, prob=0.2):
+        self.prob = prob
+
+    def __call__(self, sample):
+        if np.random.uniform() > self.prob:
+            return sample
+        img = sample["image"]
+        h, w = img.shape[:2]
+        if w < 3 * h or len(sample["label"]) < 3:
+            return sample
+        seg = _text_segments(len(sample["label"]), w)
+        cut = w // seg
+        thresh = cut * 4 // 5
+        half = thresh * 0.5
+        src = [[0, 0], [w, 0], [w, h], [0, h]]
+        dst = [[0, 0], [w, 0], [w, h], [0, h]]
+        for k in range(1, seg):
+            move = np.random.randint(thresh) - half if thresh else 0
+            src += [[cut * k, 0], [cut * k, h]]
+            dst += [[cut * k + move, 0], [cut * k + move, h]]
+        sample["image"] = warp_mls(img, src, dst)
+        sample["size"] = np.array(sample["image"].shape[:2], np.float32)
+        return sample
+
+
+class Perspective:
+    """MLS vertical corner jitter (reference common.py:476-522)."""
+
+    def __init__(self, prob=0.2):
+        self.prob = prob
+
+    def __call__(self, sample):
+        if np.random.uniform() > self.prob:
+            return sample
+        img = sample["image"]
+        h, w = img.shape[:2]
+        if w < 3 * h or len(sample["label"]) < 3:
+            return sample
+        thresh = h // 2
+        r = lambda: np.random.randint(thresh)
+        src = [[0, 0], [w, 0], [w, h], [0, h]]
+        dst = [[0, r()], [w, r()], [w, h - r()], [0, h - r()]]
+        sample["image"] = warp_mls(img, src, dst)
+        sample["size"] = np.array(sample["image"].shape[:2], np.float32)
+        return sample
+
+
+class RandomScale:
+    """Random isotropic rescale (reference common.py:17-54)."""
+
+    def __init__(self, prob=0.5, scale_range=(0.8, 1.2)):
+        self.prob = prob
+        self.scale_range = scale_range
+
+    def __call__(self, sample):
+        if np.random.uniform() > self.prob:
+            return sample
+        import cv2
+        img = sample["image"]
+        s = np.random.uniform(*self.scale_range)
+        h, w = img.shape[:2]
+        nh, nw = max(int(h * s), 1), max(int(w * s), 1)
+        sample["image"] = cv2.resize(img, (nw, nh)).astype(np.float32)
+        sample["size"] = np.array([nh, nw], np.float32)
+        return sample

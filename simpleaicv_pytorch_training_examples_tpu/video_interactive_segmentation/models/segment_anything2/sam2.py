@@ -121,17 +121,28 @@ class SAM2Video(nn.Module):
     memory_mask_nums: int = 7
     max_object_pointers: int = 16
     use_gradient_checkpoint: bool = False
+    # "hiera" or a DINOv3 backbone registry name (reference
+    # dinov3_segment_anything2/dinov3_sam2video_train.py)
+    image_encoder_type: str = "hiera"
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.image_encoder = ImageEncoder(
-            embedding_planes=self.embedding_planes,
-            head_nums=self.head_nums, block_nums=self.block_nums,
-            window_specification=self.window_specification,
-            global_attention_blocks=self.global_attention_blocks,
-            fpn_planes=self.fpn_planes,
-            use_gradient_checkpoint=self.use_gradient_checkpoint,
-            dtype=self.dtype)
+        if self.image_encoder_type != "hiera":
+            from ..dinov3_segment_anything2 import DINOv3SAM2ImageEncoder
+            self.image_encoder = DINOv3SAM2ImageEncoder(
+                backbone_type=self.image_encoder_type,
+                fpn_planes=self.fpn_planes,
+                use_gradient_checkpoint=self.use_gradient_checkpoint,
+                dtype=self.dtype)
+        else:
+            self.image_encoder = ImageEncoder(
+                embedding_planes=self.embedding_planes,
+                head_nums=self.head_nums, block_nums=self.block_nums,
+                window_specification=self.window_specification,
+                global_attention_blocks=self.global_attention_blocks,
+                fpn_planes=self.fpn_planes,
+                use_gradient_checkpoint=self.use_gradient_checkpoint,
+                dtype=self.dtype)
         self.prompt_encoder = PromptEncoder(
             image_size=self.image_size, patch_size=16,
             embedding_planes=self.fpn_planes, dtype=self.dtype)
