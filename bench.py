@@ -1,23 +1,55 @@
-"""Benchmark: ViT-B/16 ImageNet-eval images/sec on one TPU chip.
+"""Benchmark: single-chip serving throughput on the two headline models —
+ViT-B/16 ImageNet eval (224²) and RetinaNet-R50 COCO inference (1024²).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
 
-vs_baseline is measured throughput divided by the reference stack's
-throughput on its published hardware (RTX 4090D, fp16 autocast ViT-B/16
-inference at bs256 ≈ 1400 images/s — measured class of number for
-torch 2.5 + cuDNN; the reference publishes no throughput, see BASELINE.md,
-so this constant is our fixed comparison anchor and stays unchanged across
-rounds so the trend is meaningful).
+value is the ViT-B eval images/sec (the primary number, comparable across
+rounds); vs_baseline is the geometric mean of the two models' ratios over
+the reference stack's throughput on its published hardware (RTX 4090D,
+fp16 autocast: ViT-B/16 bs256 eval ≈ 1400 images/s; RetinaNet-R50 1024²
+bs16 ≈ 60 images/s — measured class of numbers for torch 2.5 + cuDNN; the
+reference publishes no throughput, see BASELINE.md, so these constants are
+our fixed comparison anchors and stay unchanged across rounds so the trend
+is meaningful).
 """
 
 import json
 import time
 
 REFERENCE_VIT_B_EVAL_IPS = 1400.0
+REFERENCE_RETINANET_INFER_IPS = 60.0
 
 
-def main():
+def _timed_chain(apply_fn, params_tree, images, iters):
+    """Wall-time `iters` serially-dependent forward passes (the compiler
+    cannot overlap/deduplicate them); returns images/sec."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def chain(params_tree, images):
+        def body(_, carry):
+            acc, imgs = carry
+            out = apply_fn(params_tree, imgs)
+            acc = acc + out.astype(jnp.float32).sum()
+            imgs = images * (1.0 + 1e-9 * acc.astype(images.dtype))
+            return acc, imgs
+
+        acc, _ = jax.lax.fori_loop(0, iters, body,
+                                   (jnp.zeros((), jnp.float32), images))
+        return acc
+
+    # NOTE: on the axon tunnel platform block_until_ready() does not
+    # block; timing must materialize the value to host (float()).
+    float(chain(params_tree, images))  # compile + warmup
+    t0 = time.perf_counter()
+    float(chain(params_tree, images))
+    dt = time.perf_counter() - t0
+    return images.shape[0] * iters / dt
+
+
+def bench_vit():
     import jax
     import jax.numpy as jnp
 
@@ -34,40 +66,55 @@ def main():
     params, variables = init_model(model, (2, 224, 224, 3),
                                    jax.random.PRNGKey(0))
 
-    iters = 20
-
-    @jax.jit
-    def forward_chain(params, images):
-        # serial dependency chain: iteration i's input depends on i-1's
-        # output, so the compiler cannot overlap/deduplicate the iterations
-        # and wall-clock measures `iters` full forward passes.
-        def body(_, carry):
-            acc, imgs = carry
-            out = model.apply({"params": params, **variables}, imgs,
-                              train=False)
-            acc = acc + out.astype(jnp.float32).sum()
-            imgs = images * (1.0 + 1e-9 * acc.astype(images.dtype))
-            return acc, imgs
-
-        acc, _ = jax.lax.fori_loop(0, iters, body,
-                                   (jnp.zeros((), jnp.float32), images))
-        return acc
+    def apply_fn(params, imgs):
+        return model.apply({"params": params, **variables}, imgs,
+                           train=False)
 
     images = jnp.zeros((batch_size, 224, 224, 3), jnp.bfloat16)
-    # NOTE: on the axon tunnel platform block_until_ready() does not block;
-    # timing must materialize the value to host (float()).
-    float(forward_chain(params, images))  # compile + warmup
+    return _timed_chain(apply_fn, params, images, iters=20)
 
-    t0 = time.perf_counter()
-    float(forward_chain(params, images))
-    dt = time.perf_counter() - t0
-    ips = batch_size * iters / dt
 
+def bench_retinanet():
+    import jax
+    import jax.numpy as jnp
+
+    from simpleaicv_pytorch_training_examples_tpu.detection.models.retinanet import (
+        resnet50_retinanet)
+    from simpleaicv_pytorch_training_examples_tpu.engine import init_model
+
+    batch_size = 8
+    model = resnet50_retinanet(num_classes=80, dtype=jnp.bfloat16)
+    params, variables = init_model(model, (1, 1024, 1024, 3),
+                                   jax.random.PRNGKey(0))
+
+    def apply_fn(params, imgs):
+        cls_heads, reg_heads = model.apply(
+            {"params": params, **variables}, imgs, train=False)
+        # reduce every head so all 10 outputs are live
+        total = sum(h.astype(jnp.float32).sum() for h in cls_heads)
+        total = total + sum(h.astype(jnp.float32).sum() for h in reg_heads)
+        return total
+
+    images = jnp.zeros((batch_size, 1024, 1024, 3), jnp.bfloat16)
+    return _timed_chain(apply_fn, params, images, iters=8)
+
+
+def main():
+    vit_ips = bench_vit()
+    det_ips = bench_retinanet()
+    vit_ratio = vit_ips / REFERENCE_VIT_B_EVAL_IPS
+    det_ratio = det_ips / REFERENCE_RETINANET_INFER_IPS
+    vs = (vit_ratio * det_ratio) ** 0.5
     print(json.dumps({
-        "metric": "vit_b_16_imagenet_eval_images_per_sec_per_chip",
-        "value": round(ips, 1),
+        "metric": "vit_b_16_imagenet_eval+retinanet_r50_coco_infer"
+                  "_images_per_sec_per_chip",
+        "value": round(vit_ips, 1),
         "unit": "images/sec/chip",
-        "vs_baseline": round(ips / REFERENCE_VIT_B_EVAL_IPS, 3),
+        "vs_baseline": round(vs, 3),
+        "detail": {"vit_b_eval_ips": round(vit_ips, 1),
+                   "retinanet_infer_ips": round(det_ips, 1),
+                   "vit_vs_baseline": round(vit_ratio, 3),
+                   "retinanet_vs_baseline": round(det_ratio, 3)},
     }))
 
 

@@ -1,0 +1,43 @@
+"""Gradio semantic demo (parity with /root/reference/gradio_demo/04.gradio_semantic_segment_single_image.py).
+
+gradio is not baked into this image; the app is import-gated and the
+underlying predictor (inference_demo/_predictors.py) also powers the CLI
+demo of the same number.
+"""
+
+import os
+import sys
+
+BASE_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.append(BASE_DIR)
+sys.path.append(os.path.join(BASE_DIR, "inference_demo"))
+
+import _predictors as P  # noqa: E402
+
+NETWORK = "resnet50_pfan_semantic_segmentation"
+CHECKPOINT = ""
+
+
+def run(image, network, checkpoint):
+    import numpy as np
+    image = np.asarray(image, dtype="float32")
+    cm = P.predict_semantic(image, network, checkpoint, num_classes=150)
+    return P.colorize_classes(cm)
+
+
+def main():
+    try:
+        import gradio as gr
+    except ImportError:
+        print("gradio is not installed in this environment; use the "
+              "matching CLI demo under inference_demo/ instead.")
+        return
+    app = gr.Interface(
+        fn=lambda img: run(img, NETWORK, CHECKPOINT),
+        inputs=gr.Image(type="numpy"),
+        outputs=gr.Image() if "semantic" != "textrec" else gr.Text())
+    app.launch()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,44 @@
+"""Gradio matting demo (parity with /root/reference/gradio_demo/07.gradio_human_matting_single_image.py).
+
+gradio is not baked into this image; the app is import-gated and the
+underlying predictor (inference_demo/_predictors.py) also powers the CLI
+demo of the same number.
+"""
+
+import os
+import sys
+
+BASE_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.append(BASE_DIR)
+sys.path.append(os.path.join(BASE_DIR, "inference_demo"))
+
+import _predictors as P  # noqa: E402
+
+NETWORK = "resnet50_pfan_matting"
+CHECKPOINT = ""
+
+
+def run(image, network, checkpoint):
+    import numpy as np
+    image = np.asarray(image, dtype="float32")
+    alpha = P.predict_salient_or_matting(image, network, checkpoint,
+                                         matting=True)
+    return (alpha * 255).astype("uint8")
+
+
+def main():
+    try:
+        import gradio as gr
+    except ImportError:
+        print("gradio is not installed in this environment; use the "
+              "matching CLI demo under inference_demo/ instead.")
+        return
+    app = gr.Interface(
+        fn=lambda img: run(img, NETWORK, CHECKPOINT),
+        inputs=gr.Image(type="numpy"),
+        outputs=gr.Image() if "matting" != "textrec" else gr.Text())
+    app.launch()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,44 @@
+"""Gradio universal_matting demo (parity with /root/reference/gradio_demo/16.1.gradio_universal_matting_single_image.py).
+
+gradio is not baked into this image; the app is import-gated and the
+underlying predictor (inference_demo/_predictors.py) also powers the CLI
+demo of the same number.
+"""
+
+import os
+import sys
+
+BASE_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.append(BASE_DIR)
+sys.path.append(os.path.join(BASE_DIR, "inference_demo"))
+
+import _predictors as P  # noqa: E402
+
+NETWORK = "dinov3_vit_large_patch16_universal_matting"
+CHECKPOINT = ""
+
+
+def run(image, network, checkpoint):
+    import numpy as np
+    image = np.asarray(image, dtype="float32")
+    alpha = P.predict_universal(image, network, checkpoint, num_classes=2,
+                                matting=True)
+    return (alpha * 255).astype("uint8")
+
+
+def main():
+    try:
+        import gradio as gr
+    except ImportError:
+        print("gradio is not installed in this environment; use the "
+              "matching CLI demo under inference_demo/ instead.")
+        return
+    app = gr.Interface(
+        fn=lambda img: run(img, NETWORK, CHECKPOINT),
+        inputs=gr.Image(type="numpy"),
+        outputs=gr.Image() if "universal_matting" != "textrec" else gr.Text())
+    app.launch()
+
+
+if __name__ == "__main__":
+    main()

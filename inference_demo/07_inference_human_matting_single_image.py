@@ -1,0 +1,42 @@
+"""Single-image human matting inference demo.
+
+Parity with /root/reference/gradio_demo/07.gradio_human_matting_single_image.py (the
+reference ships these as gradio apps; the CLI here shares the same
+predictor — see gradio_demo/ for the UI wrapper).
+
+Usage: python inference_demo/07_inference_human_matting_single_image.py \
+           --image path.jpg [--network resnet50_pfan_matting] [--checkpoint ckpt]
+"""
+
+import argparse
+import os
+import sys
+
+BASE_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.append(BASE_DIR)
+
+import _predictors as P  # noqa: E402
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--image", required=True)
+    parser.add_argument("--network", default="resnet50_pfan_matting")
+    parser.add_argument("--checkpoint", default="")
+    parser.add_argument("--save", default="out.png")
+    args = parser.parse_args()
+
+    image = P.load_image(args.image)
+    alpha = P.predict_salient_or_matting(image, args.network,
+                                         args.checkpoint, matting=True)
+    vis = (alpha * 255).astype('uint8')
+
+    import cv2
+    save_img = vis if vis.ndim == 2 else cv2.cvtColor(vis,
+                                                      cv2.COLOR_RGB2BGR)
+    cv2.imwrite(args.save, save_img)
+    print(f"saved {args.save}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,44 @@
+"""Single-image universal matting inference demo.
+
+Parity with /root/reference/gradio_demo/16.1.gradio_universal_matting_single_image.py (the
+reference ships these as gradio apps; the CLI here shares the same
+predictor — see gradio_demo/ for the UI wrapper).
+
+Usage: python inference_demo/16_1_inference_universal_matting_single_image.py \
+           --image path.jpg [--network dinov3_vit_large_patch16_universal_matting] [--checkpoint ckpt]
+"""
+
+import argparse
+import os
+import sys
+
+BASE_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.append(BASE_DIR)
+
+import _predictors as P  # noqa: E402
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--image", required=True)
+    parser.add_argument("--network", default="dinov3_vit_large_patch16_universal_matting")
+    parser.add_argument("--checkpoint", default="")
+    parser.add_argument("--save", default="out.png")
+    parser.add_argument('--num-classes', type=int, default=2)
+    args = parser.parse_args()
+
+    image = P.load_image(args.image)
+    alpha = P.predict_universal(image, args.network, args.checkpoint,
+                                num_classes=args.num_classes,
+                                matting=True)
+    vis = (alpha * 255).astype('uint8')
+
+    import cv2
+    save_img = vis if vis.ndim == 2 else cv2.cvtColor(vis,
+                                                      cv2.COLOR_RGB2BGR)
+    cv2.imwrite(args.save, save_img)
+    print(f"saved {args.save}")
+
+
+if __name__ == "__main__":
+    main()
