@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from ..detection.losses import _hungarian_match_host
 
-__all__ = ["UniversalSegmentationLoss"]
+__all__ = ["UniversalSegmentationLoss", "Mask2FormerLoss"]
 
 _EPS = 1e-6
 
@@ -60,6 +60,10 @@ class UniversalSegmentationLoss:
         self.no_object_cls_weight = no_object_cls_weight
         self.num_points = num_points
 
+    def _select_points(self, rng, mask_preds):
+        """Uniform point sampling (Mask2FormerLoss overrides this)."""
+        return jax.random.uniform(rng, (self.num_points, 2))
+
     def __call__(self, preds, gt_classes, gt_masks, rng):
         """preds: (mask_preds [B,Q,H,W] logits, class_preds [B,Q,C]);
         gt_classes [B,M] (-1 pad); gt_masks [B,M,H,W] {0,1};
@@ -73,7 +77,7 @@ class UniversalSegmentationLoss:
         gt_valid = gt_classes >= 0
         safe_class = jnp.clip(gt_classes, 0, None).astype(jnp.int32)
 
-        points = jax.random.uniform(rng, (self.num_points, 2))
+        points = self._select_points(rng, mask_preds)  # [P, 2]
         pred_pts = _sample_points(mask_preds, points)  # [B,Q,P]
         gt_pts = _sample_points(gt_masks, points)  # [B,M,P]
 
@@ -139,3 +143,32 @@ class UniversalSegmentationLoss:
             "mask_loss": self.mask_loss_weight * mask_loss,
             "dice_loss": self.dice_loss_weight * dice_loss,
         }
+
+
+class Mask2FormerLoss(UniversalSegmentationLoss):
+    """Uncertainty-guided point sampling (reference mask2former_losses.py:
+    16-260 Mask2FormerHungarianMatcher + Mask2FormerLoss with
+    get_uncertain_point_coords_with_randomness): oversample uniform
+    candidates, keep the `importance_sample_ratio` fraction with the
+    highest prediction uncertainty (-|logit|, reduced over queries so the
+    point set stays shared and shapes stay static), fill the rest with
+    fresh uniform points."""
+
+    def __init__(self, *args, oversample_ratio=3.0,
+                 importance_sample_ratio=0.75, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.oversample_ratio = oversample_ratio
+        self.importance_sample_ratio = importance_sample_ratio
+
+    def _select_points(self, rng, mask_preds):
+        r1, r2 = jax.random.split(rng)
+        n_cand = int(self.num_points * self.oversample_ratio)
+        n_imp = int(self.num_points * self.importance_sample_ratio)
+        cand = jax.random.uniform(r1, (n_cand, 2))
+        logits = jax.lax.stop_gradient(
+            _sample_points(mask_preds, cand))  # [B,Q,Pc]
+        uncertainty = -jnp.abs(logits).min(axis=(0, 1))  # most-uncertain
+        _, top_idx = jax.lax.top_k(uncertainty, n_imp)
+        imp = cand[top_idx]
+        uni = jax.random.uniform(r2, (self.num_points - n_imp, 2))
+        return jnp.concatenate([imp, uni], axis=0)
