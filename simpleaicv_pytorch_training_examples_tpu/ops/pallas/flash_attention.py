@@ -21,9 +21,10 @@ import math
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = 256
-DEFAULT_BLOCK_K = 256
+DEFAULT_BLOCK_Q = 512
+DEFAULT_BLOCK_K = 512
 
 
 def _attention_reference(q, k, v, bias=None):
@@ -38,31 +39,38 @@ def _attention_reference(q, k, v, bias=None):
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
 
 
-def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k, sm_scale):
-    """One (batch*head, q_block) program: stream K/V blocks."""
-    q = q_ref[...].astype(jnp.float32) * sm_scale  # [block_q, d]
-    n_k = k_ref.shape[0]
-    block_q, d = q.shape
+def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
+                      *, n_k_steps, sm_scale):
+    """Grid = (batch*head, q_block, k_step), k innermost ("arbitrary"):
+    each K/V block is DMA'd exactly once per q-block by the pipeline, and
+    the online-softmax state (max / sumexp / acc) lives in VMEM scratch
+    across k steps. Dots run on NATIVE-dtype operands (bf16 at full MXU
+    rate) with fp32 accumulation via preferred_element_type.
+    """
+    kstep = pl.program_id(2)
 
-    m = jnp.full((block_q, 1), -jnp.inf, jnp.float32)
-    l = jnp.zeros((block_q, 1), jnp.float32)
-    acc = jnp.zeros((block_q, d), jnp.float32)
+    @pl.when(kstep == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    def body(start, carry):
-        m, l, acc = carry
-        k = k_ref[pl.ds(start * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[pl.ds(start * block_k, block_k), :].astype(jnp.float32)
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
-        m_new = jnp.maximum(m, s.max(axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
-        l_new = l * alpha + p.sum(axis=-1, keepdims=True)
-        acc_new = acc * alpha + jnp.dot(p, v,
-                                        preferred_element_type=jnp.float32)
-        return m_new, l_new, acc_new
+    q = q_ref[...]  # [block_q, d], input dtype
+    k = k_ref[...]  # [block_k, d]
+    v = v_ref[...]
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * sm_scale
+    m_prev = m_scr[...]
+    m_new = jnp.maximum(m_prev, s.max(axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    m_scr[...] = m_new
+    l_scr[...] = l_scr[...] * alpha + p.sum(axis=-1, keepdims=True)
+    acc_scr[...] = acc_scr[...] * alpha + jnp.dot(
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32)
 
-    m, l, acc = jax.lax.fori_loop(0, n_k // block_k, body, (m, l, acc))
-    o_ref[...] = (acc / l).astype(o_ref.dtype)
+    @pl.when(kstep == n_k_steps - 1)
+    def _finalize():
+        o_ref[...] = (acc_scr[...] / l_scr[...]).astype(o_ref.dtype)
 
 
 def _flash_forward(q, k, v, block_q, block_k):
@@ -72,19 +80,28 @@ def _flash_forward(q, k, v, block_q, block_k):
     q2 = q.reshape(b * h, n_q, d)
     k2 = k.reshape(b * h, n_k, d)
     v2 = v.reshape(b * h, n_k, d)
+    n_k_steps = n_k // block_k
 
-    kernel = functools.partial(_flash_fwd_kernel, block_k=block_k,
+    kernel = functools.partial(_flash_fwd_kernel, n_k_steps=n_k_steps,
                                sm_scale=sm_scale)
     out = pl.pallas_call(
         kernel,
-        grid=(b * h, n_q // block_q),
+        grid=(b * h, n_q // block_q, n_k_steps),
         in_specs=[
-            pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((None, n_k, d), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((None, n_k, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((None, block_q, d), lambda i, j, s: (i, j, 0)),
+            pl.BlockSpec((None, block_k, d), lambda i, j, s: (i, s, 0)),
+            pl.BlockSpec((None, block_k, d), lambda i, j, s: (i, s, 0)),
         ],
-        out_specs=pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0)),
+        out_specs=pl.BlockSpec((None, block_q, d),
+                               lambda i, j, s: (i, j, 0)),
         out_shape=jax.ShapeDtypeStruct((b * h, n_q, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.TPUCompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
     )(q2, k2, v2)
     return out.reshape(b, h, n_q, d)
 

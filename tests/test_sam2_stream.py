@@ -53,3 +53,29 @@ def test_stream_matches_batched_forward():
                                    np.asarray(ref_ious[:, f]), atol=1e-3)
     # and the carry advanced
     assert int(carry["frame_idx"]) == t
+
+
+def test_scan_loop_matches_python_loop():
+    import jax
+    import jax.numpy as jnp
+    from simpleaicv_pytorch_training_examples_tpu.video_interactive_segmentation.models.segment_anything2.sam2 import (
+        SAM2Video)
+
+    kw = dict(image_size=128, embedding_planes=32, head_nums=1,
+              block_nums=(1, 1, 2, 1), window_specification=(4, 2, 4, 2),
+              global_attention_blocks=(3,), fpn_planes=32,
+              memory_planes=16, memory_mask_nums=3, max_object_pointers=4)
+    loop_model = SAM2Video(**kw)
+    scan_model = SAM2Video(use_scan=True, **kw)
+
+    rs = np.random.RandomState(1)
+    images = jnp.asarray(rs.rand(1, 3, 128, 128, 3).astype(np.float32))
+    prompts = {"prompt_point": jnp.asarray([[[40.0, 40.0, 1.0]]]),
+               "prompt_box": None, "prompt_mask": None}
+    variables = loop_model.init(jax.random.PRNGKey(0), images, prompts)
+
+    m1, i1, o1 = loop_model.apply(variables, images, prompts)
+    m2, i2, o2 = scan_model.apply(variables, images, prompts)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(i1), np.asarray(i2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-5)
