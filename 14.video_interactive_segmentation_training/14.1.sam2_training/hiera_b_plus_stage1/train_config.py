@@ -29,8 +29,12 @@ class config:
     input_image_size = 1024
     frame_nums = 1
 
+    # use_scan: the tracked-frame loop compiles once and is shared across
+    # frames (verified bit-identical to the python loop) — matters at the
+    # stage-2/3 frame_nums=8/16 recipes
     model = sam2_hiera_base_plus_video(image_size=input_image_size,
-                                       use_gradient_checkpoint=True)
+                                       use_gradient_checkpoint=True,
+                                       use_scan=True)
 
     trained_model_path = ""
     load_state_dict(trained_model_path, model)

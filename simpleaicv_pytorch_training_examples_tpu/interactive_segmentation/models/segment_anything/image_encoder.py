@@ -116,7 +116,9 @@ class SAMBlock(nn.Module):
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         y = nn.Dense(int(c * self.mlp_ratio), dtype=self.dtype,
                      name="lin1")(y)
-        y = nn.Dense(c, dtype=self.dtype, name="lin2")(nn.gelu(y))
+        # exact (erf) gelu: bit-faithful import of official SAM weights
+        y = nn.Dense(c, dtype=self.dtype, name="lin2")(
+            nn.gelu(y, approximate=False))
         return x + y
 
 

@@ -23,8 +23,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = 512
-DEFAULT_BLOCK_K = 512
+# swept on v5e at SAM shapes (B8 H12 N4096 D64): 1024/1024 -> 8.1 ms vs
+# XLA attention 7.4 ms; 512/512 -> 12.9 ms. XLA's fused attention is the
+# default path (see flash_attention below); the pallas kernel is kept at
+# near-parity for bias/long-sequence cases XLA fuses less well.
+DEFAULT_BLOCK_Q = 1024
+DEFAULT_BLOCK_K = 1024
 
 
 def _attention_reference(q, k, v, bias=None):
@@ -100,7 +104,7 @@ def _flash_forward(q, k, v, block_q, block_k):
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, d), jnp.float32),
         ],
-        compiler_params=pltpu.TPUCompilerParams(
+        compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
     )(q2, k2, v2)
     return out.reshape(b, h, n_q, d)

@@ -15,7 +15,8 @@ import re
 import numpy as np
 
 __all__ = ["convert_resnet_state_dict", "convert_vit_state_dict",
-           "merge_converted"]
+           "convert_van_state_dict", "convert_convformer_state_dict",
+           "convert_sam_encoder_state_dict", "merge_converted"]
 
 
 def _conv_w(w):
@@ -147,3 +148,166 @@ def merge_converted(params_tree, batch_stats_tree, params_flat,
     if logger:
         logger.info(f"converted: {n1}/{t1} params, {n2} batch stats")
     return merged_params, merged_stats
+
+
+def convert_van_state_dict(sd):
+    """Reference VAN (classification/backbones/van.py naming:
+    patch_embed{i}.proj / patch_embed{i}.norm / block{i}.{j}.* /
+    norm{i} / head) -> this framework's VAN
+    (patch_embed{i} conv, patch_norm{i} BN, block{i}_{j}.*, norm{i} BN,
+    head). Depthwise convs ([C,1,k,k]) transpose to [k,k,1,C]."""
+    params, stats = {}, {}
+
+    def put_bn(tp, fp):
+        params[f"{fp}.scale"] = np.asarray(sd[f"{tp}.weight"])
+        params[f"{fp}.bias"] = np.asarray(sd[f"{tp}.bias"])
+        stats[f"{fp}.mean"] = np.asarray(sd[f"{tp}.running_mean"])
+        stats[f"{fp}.var"] = np.asarray(sd[f"{tp}.running_var"])
+
+    def put_conv(tp, fp, depthwise=False):
+        w = np.asarray(sd[f"{tp}.weight"])
+        params[f"{fp}.kernel"] = _dw_conv_w(w) if depthwise else _conv_w(w)
+        if f"{tp}.bias" in sd:
+            params[f"{fp}.bias"] = np.asarray(sd[f"{tp}.bias"])
+
+    n_stages = max(int(k.split(".")[0][-1]) for k in sd
+                   if k.startswith("patch_embed"))
+    for i in range(1, n_stages + 1):
+        put_conv(f"patch_embed{i}.proj", f"patch_embed{i}")
+        put_bn(f"patch_embed{i}.norm", f"patch_norm{i}")
+        put_bn(f"norm{i}", f"norm{i}")
+        blocks = sorted({int(k.split(".")[1]) for k in sd
+                         if k.startswith(f"block{i}.")})
+        for j in blocks:
+            tb = f"block{i}.{j}"
+            fb = f"block{i}_{j}"
+            params[f"{fb}.layer_scale_1"] = np.asarray(
+                sd[f"{tb}.layer_scale_1"])
+            params[f"{fb}.layer_scale_2"] = np.asarray(
+                sd[f"{tb}.layer_scale_2"])
+            put_bn(f"{tb}.norm1", f"{fb}.norm1")
+            put_bn(f"{tb}.norm2", f"{fb}.norm2")
+            put_conv(f"{tb}.attn.proj_1", f"{fb}.attn.proj_1")
+            put_conv(f"{tb}.attn.proj_2", f"{fb}.attn.proj_2")
+            sgu = "attn.spatial_gating_unit"
+            put_conv(f"{tb}.{sgu}.conv0", f"{fb}.{sgu}.conv0",
+                     depthwise=True)
+            put_conv(f"{tb}.{sgu}.conv_spatial", f"{fb}.{sgu}.conv_spatial",
+                     depthwise=True)
+            put_conv(f"{tb}.{sgu}.conv1", f"{fb}.{sgu}.conv1")
+            put_conv(f"{tb}.mlp.fc1", f"{fb}.mlp.fc1")
+            put_conv(f"{tb}.mlp.dwconv.dwconv", f"{fb}.mlp.dwconv",
+                     depthwise=True)
+            put_conv(f"{tb}.mlp.fc2", f"{fb}.mlp.fc2")
+    if "head.weight" in sd:
+        params["head.kernel"] = _linear_w(np.asarray(sd["head.weight"]))
+        params["head.bias"] = np.asarray(sd["head.bias"])
+    return params, stats
+
+
+def convert_convformer_state_dict(sd):
+    """Reference ConvFormer (classification/backbones/convformer.py naming:
+    downsample_layers.{i}.{conv,pre_norm,post_norm} / stages.{s}.{j}.* /
+    head) -> this framework's MetaFormer (downsample{i} +
+    downsample_postnorm0/_prenorm{i} BN, block{s+1}_{j}.*, head)."""
+    params, stats = {}, {}
+
+    def put_bn(tp, fp):
+        params[f"{fp}.scale"] = np.asarray(sd[f"{tp}.weight"])
+        params[f"{fp}.bias"] = np.asarray(sd[f"{tp}.bias"])
+        stats[f"{fp}.mean"] = np.asarray(sd[f"{tp}.running_mean"])
+        stats[f"{fp}.var"] = np.asarray(sd[f"{tp}.running_var"])
+
+    def put_conv(tp, fp, depthwise=False):
+        w = np.asarray(sd[f"{tp}.weight"])
+        params[f"{fp}.kernel"] = _dw_conv_w(w) if depthwise else _conv_w(w)
+        if f"{tp}.bias" in sd:
+            params[f"{fp}.bias"] = np.asarray(sd[f"{tp}.bias"])
+
+    def put_linear(tp, fp):
+        params[f"{fp}.kernel"] = _linear_w(np.asarray(sd[f"{tp}.weight"]))
+        if f"{tp}.bias" in sd:
+            params[f"{fp}.bias"] = np.asarray(sd[f"{tp}.bias"])
+
+    n_stages = max(int(k.split(".")[1]) for k in sd
+                   if k.startswith("downsample_layers.")) + 1
+    for i in range(n_stages):
+        put_conv(f"downsample_layers.{i}.conv", f"downsample{i}")
+        if i == 0:
+            put_bn("downsample_layers.0.post_norm", "downsample_postnorm0")
+        else:
+            put_bn(f"downsample_layers.{i}.pre_norm",
+                   f"downsample_prenorm{i}")
+        blocks = sorted({int(k.split(".")[2]) for k in sd
+                         if k.startswith(f"stages.{i}.")})
+        for j in blocks:
+            tb = f"stages.{i}.{j}"
+            fb = f"block{i + 1}_{j}"
+            put_bn(f"{tb}.norm1", f"{fb}.norm1")
+            put_bn(f"{tb}.norm2", f"{fb}.norm2")
+            put_linear(f"{tb}.token_mixer.pwconv1",
+                       f"{fb}.token_mixer.pwconv1")
+            put_conv(f"{tb}.token_mixer.dwconv",
+                     f"{fb}.token_mixer.dwconv", depthwise=True)
+            put_linear(f"{tb}.token_mixer.pwconv2",
+                       f"{fb}.token_mixer.pwconv2")
+            put_linear(f"{tb}.mlp.fc1", f"{fb}.mlp.fc1")
+            put_linear(f"{tb}.mlp.fc2", f"{fb}.mlp.fc2")
+    if "head.weight" in sd:
+        put_linear("head", "head")
+    return params, stats
+
+
+def convert_sam_encoder_state_dict(sd):
+    """Reference SAM ViT image encoder (interactive_segmentation/models/
+    segment_anything/image_encoder.py naming: pos_embed /
+    patch_embed.proj / blocks.N.{norm1,attn.{rel_pos_h,rel_pos_w,qkv,proj},
+    norm2,mlp.{lin1,lin2}} / neck.{0..3}) -> this framework's
+    ViTImageEncoder (position_encoding, patch_embedding, block_N.*,
+    neck_conv1/neck_ln1/neck_conv2/neck_ln2). Accepts a full SAM
+    checkpoint too ('image_encoder.'-prefixed keys are selected).
+
+    Reference converter analogues: SimpleAICV/interactive_segmentation/
+    weight_convert/sam_encoder_weight_convert_from_sam_offical_weight.py.
+    """
+    if any(k.startswith("image_encoder.") for k in sd):
+        sd = {k[len("image_encoder."):]: v for k, v in sd.items()
+              if k.startswith("image_encoder.")}
+    params = {}
+
+    def put_linear(tp, fp):
+        params[f"{fp}.kernel"] = _linear_w(np.asarray(sd[f"{tp}.weight"]))
+        if f"{tp}.bias" in sd:
+            params[f"{fp}.bias"] = np.asarray(sd[f"{tp}.bias"])
+
+    def put_ln(tp, fp, flax_scale="scale"):
+        params[f"{fp}.{flax_scale}"] = np.asarray(sd[f"{tp}.weight"])
+        params[f"{fp}.bias"] = np.asarray(sd[f"{tp}.bias"])
+
+    params["position_encoding"] = np.asarray(sd["pos_embed"])
+    params["patch_embedding.kernel"] = _conv_w(
+        np.asarray(sd["patch_embed.proj.weight"]))
+    params["patch_embedding.bias"] = np.asarray(
+        sd["patch_embed.proj.bias"])
+
+    n_blocks = max(int(k.split(".")[1]) for k in sd
+                   if k.startswith("blocks.")) + 1
+    for i in range(n_blocks):
+        tb = f"blocks.{i}"
+        fb = f"block_{i}"
+        put_ln(f"{tb}.norm1", f"{fb}.norm1")
+        put_ln(f"{tb}.norm2", f"{fb}.norm2")
+        params[f"{fb}.attn.rel_pos_h"] = np.asarray(
+            sd[f"{tb}.attn.rel_pos_h"])
+        params[f"{fb}.attn.rel_pos_w"] = np.asarray(
+            sd[f"{tb}.attn.rel_pos_w"])
+        put_linear(f"{tb}.attn.qkv", f"{fb}.attn.qkv")
+        put_linear(f"{tb}.attn.proj", f"{fb}.attn.proj")
+        put_linear(f"{tb}.mlp.lin1", f"{fb}.lin1")
+        put_linear(f"{tb}.mlp.lin2", f"{fb}.lin2")
+
+    params["neck_conv1.kernel"] = _conv_w(np.asarray(sd["neck.0.weight"]))
+    put_ln("neck.1", "neck_ln1", flax_scale="weight")
+    params["neck_conv2.kernel"] = _conv_w(np.asarray(sd["neck.2.weight"]))
+    put_ln("neck.3", "neck_ln2", flax_scale="weight")
+    return params, {}

@@ -361,7 +361,11 @@ class SAM2Video(nn.Module):
                 out, carry = mdl.track_frame(xt[0], xt[1], carry)
                 return carry, out
 
-            scan = nn.scan(body, variable_broadcast="params",
+            # broadcast every non-param collection too (the prompt
+            # encoder keeps its gaussian PE matrix under "constants")
+            scan = nn.scan(body,
+                           variable_broadcast=("params", "constants",
+                                               "batch_stats"),
                            split_rngs={"params": False},
                            in_axes=0, out_axes=0)
             xs = (feat16[:, 1:].swapaxes(0, 1),

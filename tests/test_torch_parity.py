@@ -84,3 +84,97 @@ def test_vit_logit_parity_with_reference():
     j_out = np.asarray(model.apply({"params": params, **variables},
                                    jnp.asarray(x), train=False))
     np.testing.assert_allclose(j_out, t_out, atol=2e-3, rtol=1e-3)
+
+
+@pytest.mark.skipif(not os.path.isdir("/root/reference"),
+                    reason="reference repo not mounted")
+def test_van_logits_match_reference():
+    import sys
+    sys.path.insert(0, "/root/reference")
+    import torch
+    import jax
+    import jax.numpy as jnp
+    from SimpleAICV.classification.backbones.van import van_b0 as torch_van
+    from simpleaicv_pytorch_training_examples_tpu.engine import init_model
+    from simpleaicv_pytorch_training_examples_tpu.models.backbones.van import (
+        van_b0)
+    from simpleaicv_pytorch_training_examples_tpu.utils.torch_convert import (
+        convert_van_state_dict, merge_converted)
+
+    tnet = torch_van(num_classes=7).eval()
+    pf, sf = convert_van_state_dict(tnet.state_dict())
+    jnet = van_b0(num_classes=7)
+    params, variables = init_model(jnet, (1, 64, 64, 3),
+                                   jax.random.PRNGKey(0))
+    params, bstats = merge_converted(params, variables["batch_stats"],
+                                     pf, sf)
+    x = np.random.RandomState(0).rand(2, 64, 64, 3).astype(np.float32)
+    with torch.no_grad():
+        t_out = tnet(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    j_out = np.asarray(jnet.apply(
+        {"params": params, "batch_stats": bstats}, jnp.asarray(x),
+        train=False))
+    np.testing.assert_allclose(t_out, j_out, atol=2e-5)
+
+
+@pytest.mark.skipif(not os.path.isdir("/root/reference"),
+                    reason="reference repo not mounted")
+def test_convformer_logits_match_reference():
+    import sys
+    sys.path.insert(0, "/root/reference")
+    import torch
+    import jax
+    import jax.numpy as jnp
+    from SimpleAICV.classification.backbones.convformer import (
+        convformer_s18 as torch_cf)
+    from simpleaicv_pytorch_training_examples_tpu.engine import init_model
+    from simpleaicv_pytorch_training_examples_tpu.models.backbones.convformer import (
+        convformer_s18)
+    from simpleaicv_pytorch_training_examples_tpu.utils.torch_convert import (
+        convert_convformer_state_dict, merge_converted)
+
+    tnet = torch_cf(num_classes=7).eval()
+    pf, sf = convert_convformer_state_dict(tnet.state_dict())
+    jnet = convformer_s18(num_classes=7)
+    params, variables = init_model(jnet, (1, 64, 64, 3),
+                                   jax.random.PRNGKey(0))
+    params, bstats = merge_converted(params, variables["batch_stats"],
+                                     pf, sf)
+    x = np.random.RandomState(0).rand(2, 64, 64, 3).astype(np.float32)
+    with torch.no_grad():
+        t_out = tnet(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    j_out = np.asarray(jnet.apply(
+        {"params": params, "batch_stats": bstats}, jnp.asarray(x),
+        train=False))
+    np.testing.assert_allclose(t_out, j_out, atol=2e-5)
+
+
+@pytest.mark.skipif(not os.path.isdir("/root/reference"),
+                    reason="reference repo not mounted")
+def test_sam_encoder_matches_reference():
+    import sys
+    sys.path.insert(0, "/root/reference")
+    import torch
+    import jax
+    import jax.numpy as jnp
+    from SimpleAICV.interactive_segmentation.models.segment_anything.image_encoder import (
+        ViTImageEncoder as TorchEnc)
+    from simpleaicv_pytorch_training_examples_tpu.interactive_segmentation.models.segment_anything.image_encoder import (
+        ViTImageEncoder as JaxEnc)
+    from simpleaicv_pytorch_training_examples_tpu.utils.torch_convert import (
+        convert_sam_encoder_state_dict, merge_converted)
+
+    kw = dict(image_size=256, patch_size=16, embedding_planes=96,
+              block_nums=2, head_nums=2, out_planes=64)
+    tnet = TorchEnc(window_size=14, global_attn_indexes=(1,), **kw).eval()
+    pf, _ = convert_sam_encoder_state_dict(tnet.state_dict())
+    jnet = JaxEnc(window_size=14, global_attn_indexes=(1,), **kw)
+    v = jnet.init(jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3)))
+    params, _ = merge_converted(v["params"], {}, pf, {})
+    x = np.random.RandomState(0).rand(1, 256, 256, 3).astype(np.float32)
+    with torch.no_grad():
+        t_out = tnet(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    j_out = np.asarray(jnet.apply({"params": params}, jnp.asarray(x)))
+    if t_out.shape != j_out.shape and t_out.ndim == 4:
+        t_out = t_out.transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(t_out, j_out, atol=5e-5)
