@@ -16,7 +16,8 @@ import numpy as np
 
 __all__ = ["convert_resnet_state_dict", "convert_vit_state_dict",
            "convert_van_state_dict", "convert_convformer_state_dict",
-           "convert_sam_encoder_state_dict", "merge_converted"]
+           "convert_sam_encoder_state_dict",
+           "convert_sam2_encoder_state_dict", "merge_converted"]
 
 
 def _conv_w(w):
@@ -310,4 +311,63 @@ def convert_sam_encoder_state_dict(sd):
     put_ln("neck.1", "neck_ln1", flax_scale="weight")
     params["neck_conv2.kernel"] = _conv_w(np.asarray(sd["neck.2.weight"]))
     put_ln("neck.3", "neck_ln2", flax_scale="weight")
+    return params, {}
+
+
+def convert_sam2_encoder_state_dict(sd):
+    """Reference SAM2 Hiera image encoder (video_interactive_segmentation/
+    models/segment_anything2/image_encoder.py naming: trunk.pos_embed
+    (NCHW) / trunk.patch_embed.proj / trunk.blocks.N.{norm1,attn.{qkv,
+    proj},norm2,mlp.layers.{0,1},proj} / neck.convs.{0..3}.conv) -> this
+    framework's ImageEncoder (trunk.pos_embed NHWC, trunk.patch_embed,
+    trunk.block_N.{norm1,attn.{qkv,proj},norm2,mlp1,mlp2,proj},
+    conv0..conv3).
+
+    Reference converter analogue: SimpleAICV/video_interactive_
+    segmentation/weight_convert/sam2.1_encoder_weight_convert_*.py.
+    Accepts a full SAM2 checkpoint ('image_encoder.'-prefixed keys).
+    """
+    if any(k.startswith("image_encoder.") for k in sd):
+        sd = {k[len("image_encoder."):]: v for k, v in sd.items()
+              if k.startswith("image_encoder.")}
+    params = {}
+
+    def put_linear(tp, fp):
+        params[f"{fp}.kernel"] = _linear_w(np.asarray(sd[f"{tp}.weight"]))
+        if f"{tp}.bias" in sd:
+            params[f"{fp}.bias"] = np.asarray(sd[f"{tp}.bias"])
+
+    def put_ln(tp, fp):
+        params[f"{fp}.scale"] = np.asarray(sd[f"{tp}.weight"])
+        params[f"{fp}.bias"] = np.asarray(sd[f"{tp}.bias"])
+
+    # NCHW [1,C,h,w] -> NHWC
+    params["trunk.pos_embed"] = np.transpose(
+        np.asarray(sd["trunk.pos_embed"]), (0, 2, 3, 1))
+    params["trunk.pos_embed_window"] = np.transpose(
+        np.asarray(sd["trunk.pos_embed_window"]), (0, 2, 3, 1))
+    params["trunk.patch_embed.kernel"] = _conv_w(
+        np.asarray(sd["trunk.patch_embed.proj.weight"]))
+    params["trunk.patch_embed.bias"] = np.asarray(
+        sd["trunk.patch_embed.proj.bias"])
+
+    n_blocks = max(int(k.split(".")[2]) for k in sd
+                   if k.startswith("trunk.blocks.")) + 1
+    for i in range(n_blocks):
+        tb = f"trunk.blocks.{i}"
+        fb = f"trunk.block_{i}"
+        put_ln(f"{tb}.norm1", f"{fb}.norm1")
+        put_ln(f"{tb}.norm2", f"{fb}.norm2")
+        put_linear(f"{tb}.attn.qkv", f"{fb}.attn.qkv")
+        put_linear(f"{tb}.attn.proj", f"{fb}.attn.proj")
+        put_linear(f"{tb}.mlp.layers.0", f"{fb}.mlp1")
+        put_linear(f"{tb}.mlp.layers.1", f"{fb}.mlp2")
+        if f"{tb}.proj.weight" in sd:  # stage-transition residual proj
+            put_linear(f"{tb}.proj", f"{fb}.proj")
+
+    for i in range(4):
+        w = np.asarray(sd[f"neck.convs.{i}.conv.weight"])
+        params[f"conv{i}.kernel"] = _conv_w(w)
+        params[f"conv{i}.bias"] = np.asarray(
+            sd[f"neck.convs.{i}.conv.bias"])
     return params, {}

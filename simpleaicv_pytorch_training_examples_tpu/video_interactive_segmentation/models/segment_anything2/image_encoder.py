@@ -87,7 +87,9 @@ class MultiScaleBlock(nn.Module):
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         y = nn.Dense(int(self.planes * self.mlp_ratio), dtype=self.dtype,
                      name="mlp1")(y)
-        y = nn.Dense(self.planes, dtype=self.dtype, name="mlp2")(nn.gelu(y))
+        # exact (erf) gelu: bit-faithful import of official SAM2 weights
+        y = nn.Dense(self.planes, dtype=self.dtype, name="mlp2")(
+            nn.gelu(y, approximate=False))
         return x + y
 
 

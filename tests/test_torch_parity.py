@@ -178,3 +178,38 @@ def test_sam_encoder_matches_reference():
     if t_out.shape != j_out.shape and t_out.ndim == 4:
         t_out = t_out.transpose(0, 2, 3, 1)
     np.testing.assert_allclose(t_out, j_out, atol=5e-5)
+
+
+@pytest.mark.skipif(not os.path.isdir("/root/reference"),
+                    reason="reference repo not mounted")
+def test_sam2_hiera_encoder_matches_reference():
+    import sys
+    sys.path.insert(0, "/root/reference")
+    import torch
+    import jax
+    import jax.numpy as jnp
+    from SimpleAICV.video_interactive_segmentation.models.segment_anything2.image_encoder import (
+        ImageEncoder as TorchEnc)
+    from simpleaicv_pytorch_training_examples_tpu.video_interactive_segmentation.models.segment_anything2.image_encoder import (
+        ImageEncoder as JaxEnc)
+    from simpleaicv_pytorch_training_examples_tpu.utils.torch_convert import (
+        convert_sam2_encoder_state_dict, merge_converted)
+
+    kw = dict(embedding_planes=32, head_nums=1, block_nums=(1, 1, 2, 1),
+              window_specification=(4, 2, 4, 2),
+              global_attention_blocks=(3,), fpn_planes=32)
+    tnet = TorchEnc(**kw).eval()
+    pf, _ = convert_sam2_encoder_state_dict(tnet.state_dict())
+    jnet = JaxEnc(**kw)
+    v = jnet.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))
+    params, _ = merge_converted(v["params"], {}, pf, {})
+    x = np.random.RandomState(0).rand(1, 128, 128, 3).astype(np.float32)
+    with torch.no_grad():
+        t_feats = tnet(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        t_out = t_feats[0][-1].numpy() if isinstance(t_feats, tuple) \
+            else t_feats[-1].numpy()
+    j_feats, _ = jnet.apply({"params": params}, jnp.asarray(x))
+    j_out = np.asarray(j_feats[-1])
+    if t_out.ndim == 4 and t_out.shape != j_out.shape:
+        t_out = t_out.transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(t_out, j_out, atol=2e-5)
