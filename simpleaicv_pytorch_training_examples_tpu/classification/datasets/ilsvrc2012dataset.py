@@ -16,7 +16,10 @@ class ILSVRC2012Dataset:
         assert set_name in ("train", "val")
         self.transform = transform
         set_dir = os.path.join(root_dir, set_name)
-        class_names = sorted(os.listdir(set_dir))
+        # tolerate a missing dataset root: configs must stay importable on
+        # machines without the data (the loader errors on first use)
+        class_names = sorted(os.listdir(set_dir)) \
+            if os.path.isdir(set_dir) else []
         self.class_to_idx = {c: i for i, c in enumerate(class_names)}
         self.image_paths = []
         self.labels = []

@@ -32,3 +32,5 @@ interactive_segmentation_dataset_path = os.path.join(
     _ROOT, "interactive_segmentation")
 video_interactive_segmentation_dataset_path = os.path.join(
     _ROOT, "video_interactive_segmentation")
+face_parsing_dataset_path = os.path.join(_ROOT, "face_parsing")
+human_parsing_dataset_path = os.path.join(_ROOT, "human_parsing")
