@@ -130,13 +130,21 @@ _flash_attention_nobias.defvjp(_fwd, _bwd)
 
 
 def flash_attention(q, k, v, bias=None,
-                    block_q=DEFAULT_BLOCK_Q, block_k=DEFAULT_BLOCK_K):
-    """[B, H, N, D] attention; pallas fast path when tileable on TPU."""
+                    block_q=DEFAULT_BLOCK_Q, block_k=DEFAULT_BLOCK_K,
+                    force_pallas=False):
+    """[B, H, N, D] attention.
+
+    Measured on v5e (B8 H12 N4096 D64, bf16): XLA's fused attention
+    7.4 ms vs this pallas kernel 8.1 ms — XLA is the default path on this
+    generation; the pallas kernel is opt-in (`force_pallas=True`) and
+    kept at near-parity as the substrate for cases XLA fuses less well
+    (additive bias variants, much longer sequences, future fused
+    backward)."""
     n_q, n_k = q.shape[2], k.shape[2]
     d = q.shape[3]
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
     tileable = (bias is None and n_q % block_q == 0 and
                 n_k % block_k == 0 and d <= 256)
-    if on_tpu and tileable:
+    if force_pallas and on_tpu and tileable:
         return _flash_attention_nobias(q, k, v, block_q, block_k)
     return _attention_reference(q, k, v, bias)
