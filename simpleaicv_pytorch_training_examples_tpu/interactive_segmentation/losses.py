@@ -11,7 +11,7 @@ supervise_all_iou).
 import jax
 import jax.numpy as jnp
 
-__all__ = ["SAMLoss"]
+__all__ = ["SAMLoss", "SAMMultiLevelLoss"]
 
 _EPS = 1e-4
 
@@ -80,6 +80,30 @@ class SAMLoss:
             dice_total += dice_sel.mean()
             iou_total += iou_sel.mean()
 
+        return {
+            "focal_loss": self.focal_loss_weight * focal_total / n_iter,
+            "dice_loss": self.dice_loss_weight * dice_total / n_iter,
+            "iou_predict_loss":
+                self.iou_predict_loss_weight * iou_total / n_iter,
+        }
+
+
+class SAMMultiLevelLoss(SAMLoss):
+    """Supervise ALL mask levels against the target instead of selecting
+    the best one (reference losses.py:201-300 SAMMultiLevelLoss: targets
+    broadcast over the M multimask outputs, losses averaged over levels).
+    Used by the multilevel SAM training recipes."""
+
+    def __call__(self, all_iter_preds, targets):
+        all_masks, all_ious = all_iter_preds
+        n_iter = len(all_masks)
+        focal_total, dice_total, iou_total = 0.0, 0.0, 0.0
+        for mask_logits, iou_preds in zip(all_masks, all_ious):
+            focal, dice, iou_mse = self._per_mask_losses(mask_logits,
+                                                         iou_preds, targets)
+            focal_total += focal.mean()
+            dice_total += dice.mean()
+            iou_total += iou_mse.mean()
         return {
             "focal_loss": self.focal_loss_weight * focal_total / n_iter,
             "dice_loss": self.dice_loss_weight * dice_total / n_iter,

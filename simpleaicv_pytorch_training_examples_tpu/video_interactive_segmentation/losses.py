@@ -11,7 +11,7 @@ import jax.numpy as jnp
 
 from ..interactive_segmentation.losses import SAMLoss
 
-__all__ = ["SAM2Loss"]
+__all__ = ["SAM2Loss", "SAM2MultiLevelLoss"]
 
 _EPS = 1e-4
 
@@ -54,3 +54,20 @@ class SAM2Loss:
             "object_score_loss":
                 self.object_score_loss_weight * obj_total / t_frames,
         }
+
+
+class SAM2MultiLevelLoss(SAM2Loss):
+    """Per-frame SAM2 loss supervising ALL mask levels (reference
+    losses.py:243+ SAM2MultiLevelLoss): swaps the best-mask selection for
+    level-averaged supervision, keeping the occlusion CE term."""
+
+    def __init__(self, alpha=0.25, gamma=2, focal_loss_weight=20,
+                 dice_loss_weight=1, iou_predict_loss_weight=1,
+                 object_score_loss_weight=1, mask_threshold=0.0):
+        from ..interactive_segmentation.losses import SAMMultiLevelLoss
+        super().__init__(alpha, gamma, focal_loss_weight, dice_loss_weight,
+                         iou_predict_loss_weight, object_score_loss_weight,
+                         mask_threshold=mask_threshold)
+        self.sam_loss = SAMMultiLevelLoss(
+            alpha, gamma, focal_loss_weight, dice_loss_weight,
+            iou_predict_loss_weight, mask_threshold=mask_threshold)
