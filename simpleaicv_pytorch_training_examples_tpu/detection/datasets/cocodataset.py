@@ -22,8 +22,13 @@ class CocoDetection:
             self.image_dir = os.path.join(root_dir, set_name)
         ann_file = os.path.join(root_dir, "annotations",
                                 f"instances_{set_name}.json")
-        with open(ann_file) as f:
-            data = json.load(f)
+        # tolerate a missing dataset root: configs must stay importable on
+        # machines without the data (the loader errors on first use)
+        if os.path.exists(ann_file):
+            with open(ann_file) as f:
+                data = json.load(f)
+        else:
+            data = {"categories": [], "images": [], "annotations": []}
 
         cat_ids = sorted(c["id"] for c in data["categories"])
         self.cat_id_to_label = {cid: i for i, cid in enumerate(cat_ids)}

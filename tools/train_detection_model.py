@@ -27,6 +27,9 @@ def build_loss_fn(model, config):
     criterion = config.train_criterion
     compute_dtype = jnp.bfloat16 if getattr(config, "use_amp", True) \
         else jnp.float32
+    # DETR's set loss consumes the cxcywh-normalized 'scaled_annots' the
+    # DETR collater emits; anchor losses consume pixel 'annots'
+    annots_key = getattr(config, "annots_key", "annots")
 
     def loss_fn(params, variables, batch, rng):
         images = batch["image"].astype(compute_dtype)
@@ -41,7 +44,7 @@ def build_loss_fn(model, config):
             preds = model.apply({"params": params}, images, train=True,
                                 rngs=rngs)
             new_vars = variables
-        loss_dict = criterion(preds, batch["annots"])
+        loss_dict = criterion(preds, batch[annots_key])
         total = sum(loss_dict.values())
         loss_dict = dict(loss_dict)
         loss_dict["loss"] = total
