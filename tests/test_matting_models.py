@@ -59,3 +59,24 @@ def test_universal_matting_forward():
     assert l.shape == (1, 4, 64, 64, 1)
     assert f.shape == (1, 4, 64, 64, 1)
     assert cls.shape == (1, 4, 2)
+
+
+def test_grad_conn_metrics():
+    """Gradient/Connectivity matting metrics: zero for identical maps,
+    positive for perturbed ones, connectivity penalizes disconnection."""
+    from simpleaicv_pytorch_training_examples_tpu.human_matting.metrics import (
+        connectivity_error, gradient_error)
+
+    rs = np.random.RandomState(0)
+    gt = np.zeros((64, 64), np.float32)
+    gt[16:48, 16:48] = 1.0
+    assert gradient_error(gt, gt) == 0.0
+    assert connectivity_error(gt, gt) == 0.0
+
+    blurred = gt.copy()
+    blurred[16:48, 14:16] = 0.5  # soft edge
+    assert gradient_error(blurred, gt) > 0
+
+    disconnected = gt.copy()
+    disconnected[30:34, :] = 0.0  # split the object in two
+    assert connectivity_error(disconnected, gt) > 0

@@ -69,18 +69,23 @@ def build_loss_fn(model, config):
 
 
 def build_eval(model, config, ctx):
-    """IoU / SAD / MAE / MSE on the fused alpha.
-
-    Mirrors /root/reference/tools/human_matting_scripts.py:26-173 core
-    metrics (Grad/Conn are offline metrics, host-side, future work).
+    """IoU / SAD / MAE / MSE (jitted) + Grad / Conn (host) on the fused
+    alpha — mirrors /root/reference/tools/human_matting_scripts.py:26-173.
+    Grad/Conn run host-side per image (gaussian-derivative filters +
+    connected components); set `config.eval_grad_conn = False` to skip
+    them on large val sets.
     """
     import jax
     import jax.numpy as jnp
     import numpy as np
 
+    from simpleaicv_pytorch_training_examples_tpu.human_matting.metrics import (
+        connectivity_error, gradient_error)
     from simpleaicv_pytorch_training_examples_tpu.parallel import shard_batch
     from simpleaicv_pytorch_training_examples_tpu.parallel.mesh import (
         pad_batch_to_multiple)
+
+    with_grad_conn = getattr(config, "eval_grad_conn", True)
 
     compute_dtype = jnp.bfloat16 if getattr(config, "use_amp", True) \
         else jnp.float32
@@ -101,21 +106,31 @@ def build_eval(model, config, ctx):
         inter = (bp * bg).sum(axis=(1, 2))
         union = jnp.clip(bp.sum(axis=(1, 2)) + bg.sum(axis=(1, 2)) - inter,
                          1e-4, None)
-        return inter / union, sad, mae, mse
+        return inter / union, sad, mae, mse, pred
 
     def evaluate(state):
         ious, sads, maes, mses = [], [], [], []
+        grads, conns = [], []
         for batch in ctx.test_loader:
             padded, n_real = pad_batch_to_multiple(batch, ctx.n_devices)
             sharded = shard_batch(padded, ctx.mesh)
-            iou, sad, mae, mse = eval_step(state, sharded)
+            iou, sad, mae, mse, pred = eval_step(state, sharded)
             ious.extend(np.asarray(iou)[:n_real].tolist())
             sads.extend(np.asarray(sad)[:n_real].tolist())
             maes.extend(np.asarray(mae)[:n_real].tolist())
             mses.extend(np.asarray(mse)[:n_real].tolist())
+            if with_grad_conn:
+                pred_np = np.asarray(pred)[:n_real]
+                gt_np = np.asarray(batch["mask"])[:n_real]
+                for i in range(len(pred_np)):
+                    grads.append(gradient_error(pred_np[i], gt_np[i]))
+                    conns.append(connectivity_error(pred_np[i], gt_np[i]))
         miou = float(np.mean(ious))
-        return miou, (f"IoU {miou:.4f} SAD {np.mean(sads):.4f} "
-                      f"MAE {np.mean(maes):.4f} MSE {np.mean(mses):.6f}")
+        msg = (f"IoU {miou:.4f} SAD {np.mean(sads):.4f} "
+               f"MAE {np.mean(maes):.4f} MSE {np.mean(mses):.6f}")
+        if grads:
+            msg += f" Grad {np.mean(grads):.4f} Conn {np.mean(conns):.4f}"
+        return miou, msg
 
     return evaluate
 
