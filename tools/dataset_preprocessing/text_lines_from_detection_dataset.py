@@ -39,8 +39,28 @@ def rectify_quad(img, pts, out_h=48):
 
 
 def rectify_poly(img, pts, out_h=48):
+    """Curved polygon (2N points: N along the top edge then N back along
+    the bottom, the ArT/LSVT/total-text convention): unwarp piecewise —
+    each (top_i, top_i+1, bot_i+1, bot_i) quad is perspective-rectified
+    and the strips concatenate left-to-right (the reference's TPS curve
+    pipeline produces the same straightened line up to resampling).
+    Falls back to min-area-rect for odd point counts."""
     import cv2
-    rect = cv2.minAreaRect(np.asarray(pts, np.float32))
+    pts = np.asarray(pts, np.float32)
+    n = len(pts)
+    if n >= 6 and n % 2 == 0:
+        half = n // 2
+        top = pts[:half]
+        bot = pts[half:][::-1]  # bottom runs right-to-left in the format
+        strips = []
+        for i in range(half - 1):
+            quad = np.stack([top[i], top[i + 1], bot[i + 1], bot[i]])
+            strip = rectify_quad(img, quad, out_h)
+            if strip.shape[1] > 0:
+                strips.append(strip)
+        if strips:
+            return np.concatenate(strips, axis=1)
+    rect = cv2.minAreaRect(pts)
     box = cv2.boxPoints(rect)
     # order box points: top-left first (smallest x+y), clockwise
     order = np.argsort(box.sum(axis=1))
