@@ -9,9 +9,9 @@ import sys
 
 import numpy as np
 
-BASE_DIR = os.path.dirname(
+BASE_DIR = os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__)))))
+        os.path.abspath(__file__))))))
 sys.path.append(BASE_DIR)
 
 from tools.path import ADE20Kdataset_path

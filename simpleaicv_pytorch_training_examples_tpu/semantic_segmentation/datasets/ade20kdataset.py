@@ -19,7 +19,10 @@ class ADE20KSemanticSegmentation:
         image_dir = os.path.join(root_dir, "images", image_sets)
         mask_dir = os.path.join(root_dir, "annotations", image_sets)
         self.pairs = []
-        for name in sorted(os.listdir(image_dir)):
+        # tolerate a missing dataset root (configs importable without data)
+        names = sorted(os.listdir(image_dir)) if os.path.isdir(image_dir) \
+            else []
+        for name in names:
             if not name.endswith(".jpg"):
                 continue
             mask_name = name.replace(".jpg", ".png")
