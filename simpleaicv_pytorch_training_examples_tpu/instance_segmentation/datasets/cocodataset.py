@@ -21,9 +21,14 @@ class CocoInstanceSegmentation:
         self.image_dir = os.path.join(root_dir, "images", set_name)
         if not os.path.exists(self.image_dir):
             self.image_dir = os.path.join(root_dir, set_name)
-        with open(os.path.join(root_dir, "annotations",
-                               f"instances_{set_name}.json")) as f:
-            data = json.load(f)
+        ann_file = os.path.join(root_dir, "annotations",
+                                f"instances_{set_name}.json")
+        # tolerate a missing dataset root (configs importable without data)
+        if os.path.exists(ann_file):
+            with open(ann_file) as f:
+                data = json.load(f)
+        else:
+            data = {"categories": [], "images": [], "annotations": []}
         cat_ids = sorted(c["id"] for c in data["categories"])
         self.cat_id_to_label = {cid: i for i, cid in enumerate(cat_ids)}
         self.label_to_cat_id = {i: c for c, i in self.cat_id_to_label.items()}
