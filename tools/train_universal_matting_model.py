@@ -28,9 +28,34 @@ def build_loss_fn(model, config):
     import jax.numpy as jnp
 
     criterion = config.train_criterion
-    ratios = getattr(config, "loss_ratio", {k: 1.0 for k in criterion})
     compute_dtype = jnp.bfloat16 if getattr(config, "use_amp", True) \
         else jnp.float32
+
+    # instance mode (16.4 human_instance_matting): Hungarian per-query
+    # alpha matching — criterion is UniversalInstanceMattingLoss
+    if getattr(config, "instance_matting", False):
+        def instance_loss_fn(params, variables, batch, rng):
+            images = batch["image"].astype(compute_dtype)
+            mutable = list(variables.keys())
+            if mutable:
+                preds, new_vars = model.apply(
+                    {"params": params, **variables}, images, train=True,
+                    mutable=mutable)
+                new_vars = dict(new_vars)
+            else:
+                preds = model.apply({"params": params}, images, train=True)
+                new_vars = variables
+            loss_dict = criterion(preds, batch["gt_classes"],
+                                  batch["gt_alphas"],
+                                  jax.random.fold_in(rng, 99))
+            total = sum(loss_dict.values())
+            loss_dict = dict(loss_dict)
+            loss_dict["loss"] = total
+            return total, (new_vars, loss_dict)
+
+        return instance_loss_fn
+
+    ratios = getattr(config, "loss_ratio", {k: 1.0 for k in criterion})
 
     def loss_fn(params, variables, batch, rng):
         images = batch["image"].astype(compute_dtype)
