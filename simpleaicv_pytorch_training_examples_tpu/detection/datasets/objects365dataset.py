@@ -22,8 +22,12 @@ class Objects365Detection(CocoDetection):
             ann_file = os.path.join(root_dir, "annotations",
                                     f"instances_{set_name}.json")
         import json
-        with open(ann_file) as f:
-            data = json.load(f)
+        # tolerate a missing dataset root (configs importable without data)
+        if os.path.exists(ann_file):
+            with open(ann_file) as f:
+                data = json.load(f)
+        else:
+            data = {"categories": [], "images": [], "annotations": []}
         self.image_dir = os.path.join(root_dir, "images", set_name)
         cat_ids = sorted(c["id"] for c in data["categories"])
         self.cat_id_to_label = {cid: i for i, cid in enumerate(cat_ids)}
