@@ -52,3 +52,20 @@ def test_metric_accumulation():
     assert r["precision"] == 100.0
     assert r["recall"] == 50.0
     assert 66.0 < r["hmean"] < 67.0
+
+
+def test_rle_codec_roundtrip():
+    """COCO RLE codec: random + known-vector roundtrips."""
+    from simpleaicv_pytorch_training_examples_tpu.detection.rle import (
+        coco_rle_to_mask, mask_to_coco_rle, rle_decode, rle_encode)
+
+    rs = np.random.RandomState(0)
+    for _ in range(10):
+        m = (rs.rand(23, 31) > 0.6).astype(np.uint8)
+        assert (rle_decode(rle_encode(m)) == m).all()
+        r = mask_to_coco_rle(m)
+        assert isinstance(r["counts"], str)
+        assert (coco_rle_to_mask(r) == m).all()
+    # known vector: [[0,1],[1,1]] column-major = 0,1,1,1 -> counts [1,3]
+    m = np.array([[0, 1], [1, 1]], np.uint8)
+    assert rle_encode(m)["counts"] == [1, 3]
