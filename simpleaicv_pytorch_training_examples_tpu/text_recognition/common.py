@@ -6,9 +6,9 @@ Parity with /root/reference/SimpleAICV/text_recognition/common.py:
   drop; unknown chars map to the garbage char '㍿'.
 - KeepRatioResizeTextRecognitionCollater (:543): height -> 32, keep aspect,
   pad width to a fixed max (static shapes).
-- Basic photometric augs (brightness / blur / rotate) standing in for the
-  WarpMLS distort/stretch/perspective family (offline-preprocessing augs in
-  the reference; full WarpMLS is future work).
+- Photometric augs (brightness / blur / rotate / scale) plus the full
+  WarpMLS geometric family (warp_mls + Distort / Stretch / Perspective —
+  a vectorized MLS re-implementation, see warp_mls below).
 """
 
 import numpy as np
