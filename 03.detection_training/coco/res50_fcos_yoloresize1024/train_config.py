@@ -114,6 +114,7 @@ class config:
 
     epochs = 13
     print_interval = 100
+    eval_type = "COCO"
     eval_epoch = [1, 3, 5, 8, 10, 12, 13]
 
     use_amp = True

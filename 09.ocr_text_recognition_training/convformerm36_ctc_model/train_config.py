@@ -1,0 +1,103 @@
+"""ConvFormer-M36-CTC OCR text recognition (32x512, bs1024 effective, 50ep).
+
+Mirrors /root/reference/09.ocr_text_recognition_training/
+convformerm36_ctc_model/train_config.py. Target LCS precision 99.14
+(BASELINE.md). Char table: supply a final_char_table file with one char
+per line (the reference's 12,111-char table) via chars_file.
+"""
+
+import os
+import string
+import sys
+
+BASE_DIR = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.append(BASE_DIR)
+
+from tools.path import text_recognition_dataset_path
+
+from simpleaicv_pytorch_training_examples_tpu.text_recognition import (
+    models, losses)
+from simpleaicv_pytorch_training_examples_tpu.text_recognition.datasets.text_recognition_dataset import TextRecognition
+from simpleaicv_pytorch_training_examples_tpu.text_recognition.common import (
+    CTCTextLabelConverter, KeepRatioResizeTextRecognitionCollater,
+    Normalize, RandomBrightness, RandomBlur, RandomRotate, load_state_dict)
+from simpleaicv_pytorch_training_examples_tpu.data import Compose
+
+_chars_file = os.path.join(text_recognition_dataset_path,
+                           "final_char_table.txt")
+
+
+class config:
+    network = "convformerm36_ctc_model"
+    input_image_size = (32, 512)
+
+    converter = CTCTextLabelConverter(
+        chars=None if os.path.exists(_chars_file) else list(
+            string.printable.strip()),
+        chars_file=_chars_file if os.path.exists(_chars_file) else None,
+        str_max_length=80)
+    num_classes = converter.num_classes
+
+    backbone_pretrained_path = ""
+    model = models.__dict__[network](**{
+        "backbone_pretrained_path": backbone_pretrained_path,
+        "num_classes": num_classes,
+    })
+
+    trained_model_path = ""
+    load_state_dict(trained_model_path, model)
+
+    train_criterion = losses.CTCLoss(blank_index=converter.blank_index,
+                                     use_focal_weight=False)
+
+    train_dataset = TextRecognition(
+        text_recognition_dataset_path,
+        set_name_list=["aistudio_baidu_street",
+                       "chinese_dataset", "synthetic_chinese_string_dataset",
+                       "meta_self_learning_car"],
+        set_type="train",
+        transform=Compose([
+            RandomBrightness(prob=0.3),
+            RandomBlur(prob=0.2),
+            RandomRotate(prob=0.3),
+            Normalize(),
+        ]))
+    test_dataset = TextRecognition(
+        text_recognition_dataset_path,
+        set_name_list=["aistudio_baidu_street"],
+        set_type="val",
+        transform=Compose([Normalize()]))
+    train_collater = KeepRatioResizeTextRecognitionCollater(
+        converter, resize_h=32, max_w=512)
+    test_collater = KeepRatioResizeTextRecognitionCollater(
+        converter, resize_h=32, max_w=512)
+
+    seed = 0
+    batch_size = 512
+    num_workers = 32
+    accumulation_steps = 2
+
+    optimizer = (
+        "AdamW",
+        {
+            "lr": 1e-4,
+            "global_weight_decay": False,
+            "weight_decay": 1e-3,
+            "no_weight_decay_layer_name_list": [],
+        },
+    )
+
+    scheduler = (
+        "CosineLR",
+        {
+            "warm_up_epochs": 1,
+            "min_lr": 1e-6,
+        },
+    )
+
+    epochs = 50
+    print_interval = 100
+
+    use_amp = True
+    use_ema_model = False

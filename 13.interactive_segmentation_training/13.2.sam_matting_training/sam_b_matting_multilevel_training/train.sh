@@ -1,0 +1,2 @@
+#!/usr/bin/env bash
+python ../../../tools/train_interactive_matting_model.py --work-dir "$(dirname "$0")"

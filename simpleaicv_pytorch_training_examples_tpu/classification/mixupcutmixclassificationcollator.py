@@ -39,6 +39,10 @@ def _rand_bbox(h, w, lam):
 
 class MixupCutmixClassificationCollater:
 
+    # random augmentation happens in-collate: the runner must never fall
+    # back to this collater for eval loaders (engine/runner.py checks this)
+    augments = True
+
     def __init__(self, use_mixup=True, mixup_alpha=0.8, cutmix_alpha=1.0,
                  cutmix_minmax=None, mixup_cutmix_prob=1.0,
                  switch_to_cutmix_prob=0.5, mode="batch", correct_lam=True,

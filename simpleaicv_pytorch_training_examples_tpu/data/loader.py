@@ -92,16 +92,35 @@ class DataLoader:
         out_q = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put(item):
+            """Blocking put that gives up when the consumer is gone, so a
+            full queue can never wedge the producer thread."""
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for batch_idx in self._epoch_indices():
-                    if stop.is_set():
-                        return
-                    samples = list(
-                        pool.map(self.dataset.__getitem__,
-                                 [int(i) for i in batch_idx]))
-                    out_q.put(self.collater(samples))
-            out_q.put(None)
+            # A raising __getitem__/collater must surface in the consumer,
+            # not kill this thread silently (which would block the consumer
+            # on get() forever): ship the exception through the queue.
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for batch_idx in self._epoch_indices():
+                        if stop.is_set():
+                            return
+                        samples = list(
+                            pool.map(self.dataset.__getitem__,
+                                     [int(i) for i in batch_idx]))
+                        if not put(self.collater(samples)):
+                            return
+            except BaseException as exc:  # noqa: BLE001 — re-raised below
+                put(exc)
+                return
+            put(None)
 
         producer = threading.Thread(target=produce, daemon=True)
         producer.start()
@@ -110,6 +129,8 @@ class DataLoader:
                 batch = out_q.get()
                 if batch is None:
                     return
+                if isinstance(batch, BaseException):
+                    raise batch
                 yield batch
         finally:
             stop.set()

@@ -107,6 +107,7 @@ def make_train_step(model,
                     use_ema_model: bool = False,
                     ema_model_decay: float = 0.9999,
                     clip_max_norm: float = 0.0,
+                    clip_grad_value: float = 0.0,
                     skip_inf_nan_grad: bool = True,
                     compute_dtype=jnp.bfloat16,
                     loss_fn: Optional[Callable] = None,
@@ -181,6 +182,10 @@ def make_train_step(model,
             gnorm = optax.global_norm(grads)
             scale = jnp.minimum(1.0, clip_max_norm / (gnorm + 1e-6))
             grads = jax.tree.map(lambda g: g * scale, grads)
+        if clip_grad_value > 0:  # element-wise clip (torch clip_grad_value_)
+            grads = jax.tree.map(
+                lambda g: jnp.clip(g, -clip_grad_value, clip_grad_value),
+                grads)
 
         updates, new_opt_state = tx.update(grads, state.opt_state,
                                            state.params)
@@ -206,7 +211,11 @@ def make_train_step(model,
                                   variables=new_vars,
                                   opt_state=new_opt_state,
                                   ema_params=new_ema)
-        metrics = dict(loss_dict)
+        # mask losses to 0 on a skipped iteration so host-side running sums
+        # stay finite (reference semantics: a skipped batch contributes
+        # nothing to the logged averages, tools/scripts.py:195-205,250-268)
+        metrics = {k: jnp.where(finite, v, jnp.zeros_like(v))
+                   for k, v in loss_dict.items()}
         metrics["skipped"] = jnp.logical_not(finite).astype(jnp.float32)
         return new_state, metrics
 

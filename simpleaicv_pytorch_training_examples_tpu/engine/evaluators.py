@@ -126,6 +126,57 @@ def detection_coco_evaluator(model, config, ctx):
     return evaluate
 
 
+def detection_voc_evaluator(model, config, ctx):
+    """Pascal VOC mAP@0.5 over ctx.test_loader.
+
+    Mirrors /root/reference/tools/scripts.py:503-739
+    (evaluate_voc_detection): decode on device, per-class all-points AP on
+    host over original-pixel coordinates.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..detection.voc_eval import evaluate_voc_detection
+    from ..parallel import shard_batch
+    from ..parallel.mesh import pad_batch_to_multiple
+
+    decoder = config.decoder
+    dataset = config.test_dataset
+    compute_dtype = jnp.bfloat16 if getattr(config, "use_amp", True) \
+        else jnp.float32
+
+    @jax.jit
+    def forward(state, images):
+        return model.apply({"params": state.params, **state.variables},
+                           images.astype(compute_dtype), train=False)
+
+    def evaluate(state):
+        dets, gts = [], []
+        sample_idx = 0
+        for batch in ctx.test_loader:
+            padded, n_real = pad_batch_to_multiple(batch, ctx.n_devices)
+            sharded = shard_batch(padded, ctx.mesh)
+            preds = forward(state, sharded["image"])
+            scores, classes, boxes = decoder(preds)
+            scores = np.asarray(scores)[:n_real]
+            classes = np.asarray(classes)[:n_real]
+            boxes = np.asarray(boxes)[:n_real]
+            scales = np.asarray(batch["scale"])[:n_real]
+            for i in range(n_real):
+                keep = classes[i] >= 0
+                dets.append((boxes[i][keep] / max(scales[i], 1e-8),
+                             scores[i][keep], classes[i][keep]))
+                annots, _ = dataset.parse_annotation(sample_idx)
+                gts.append(np.asarray(annots, np.float32).reshape(-1, 5))
+                sample_idx += 1
+        mAP, per_class = evaluate_voc_detection(
+            gts, dets, num_classes=config.num_classes, iou_threshold=0.5)
+        mAP *= 100
+        return mAP, f"VOC mAP@0.5 {mAP:.3f} ({len(per_class)} classes)"
+
+    return evaluate
+
+
 def semantic_segmentation_evaluator(model, config, ctx):
     """Streaming confusion-matrix mIoU/precision/recall/dice.
 

@@ -47,7 +47,6 @@ def run_training(config, work_dir: str, *,
     from ..utils import (build_optimizer, get_logger, set_seed)
     from ..utils.checkpoint import CheckpointStore
     from ..utils.ema import ema_init
-    from ..utils.meters import AverageMeter
     from .engine import TrainState, apply_pretrained, init_model, \
         make_train_step
 
@@ -82,9 +81,16 @@ def run_training(config, work_dir: str, *,
         process_count=jax.process_count())
     test_loader = None
     if getattr(config, "test_dataset", None) is not None:
+        eval_collater = getattr(config, "test_collater",
+                                config.train_collater)
+        # a collater that augments in-collate (e.g. Mixup/CutMix) would
+        # corrupt eval if it leaked in through the fallback
+        assert not getattr(eval_collater, "augments", False), (
+            "config.train_collater performs random augmentation; set an "
+            "explicit config.test_collater for the eval loader")
         test_loader = DataLoader(
             config.test_dataset, config.batch_size,
-            getattr(config, "test_collater", config.train_collater),
+            eval_collater,
             shuffle=False, drop_last=False, seed=config.seed,
             num_workers=getattr(config, "num_workers", 8),
             process_index=jax.process_index(),
@@ -125,6 +131,7 @@ def run_training(config, work_dir: str, *,
         use_ema_model=use_ema,
         ema_model_decay=getattr(config, "ema_model_decay", 0.9999),
         clip_max_norm=getattr(config, "clip_max_norm", 0.0),
+        clip_grad_value=getattr(config, "clip_grad_value", 0.0),
         skip_inf_nan_grad=getattr(config, "skip_inf_nan_grad", True),
         compute_dtype=compute_dtype,
         loss_fn=loss_fn)
@@ -155,33 +162,44 @@ def run_training(config, work_dir: str, *,
     for epoch in range(start_epoch, config.epochs + 1):
         train_loader.set_epoch(epoch)
         t_epoch = time.time()
-        loss_meter = AverageMeter()
-        skips = 0
+        # device-side running sums over EVERY iteration (reference
+        # accumulates each iter, tools/scripts.py:250-268); the host only
+        # materializes them at print_interval / epoch end, so there is one
+        # scalar transfer per interval, not per iteration.
+        metric_sums, n_iters = None, 0
+        epoch_loss_avg, skips = 0.0, 0
         for it, batch in enumerate(train_loader):
             batch = shard_batch(batch, mesh)
             rng = jax.random.fold_in(base_rng,
                                      (epoch - 1) * steps_per_epoch + it)
             state, metrics = train_step(state, batch, rng)
-            if (it + 1) % print_interval == 0:
-                loss_v = float(metrics["loss"])
-                skips += int(float(metrics["skipped"]))
-                loss_meter.update(loss_v, 1)
-                extra = " ".join(
-                    f"{k} {float(v):.4f}" for k, v in metrics.items()
-                    if k not in ("loss", "skipped"))
-                log(f"epoch {epoch} iter {it + 1}/{steps_per_epoch} "
-                    f"loss {loss_v:.4f} {extra} skipped {skips}")
+            metric_sums = metrics if metric_sums is None else jax.tree.map(
+                jnp.add, metric_sums, metrics)
+            n_iters += 1
+            last_iter = it + 1 == steps_per_epoch
+            if (it + 1) % print_interval == 0 or last_iter:
+                sums = jax.device_get(metric_sums)
+                skips = int(sums.pop("skipped"))
+                valid = max(1, n_iters - skips)
+                avgs = {k: float(v) / valid for k, v in sums.items()}
+                epoch_loss_avg = avgs["loss"]
+                extra = " ".join(f"{k} {v:.4f}" for k, v in avgs.items()
+                                 if k != "loss")
+                if not last_iter or (it + 1) % print_interval == 0:
+                    log(f"epoch {epoch} iter {it + 1}/{steps_per_epoch} "
+                        f"loss {float(metrics['loss']):.4f} "
+                        f"avg {epoch_loss_avg:.4f} {extra} skipped {skips}")
         train_hours += (time.time() - t_epoch) / 3600.0
 
         metric = None
         if evaluator and (eval_epochs is None or epoch in eval_epochs):
             metric, metric_log = evaluator(state)
             log(f"epoch {epoch}: {metric_log} "
-                f"train loss avg {loss_meter.avg:.4f} "
+                f"train loss avg {epoch_loss_avg:.4f} "
                 f"hours {train_hours:.2f}")
         else:
-            metric = -loss_meter.avg if higher_is_better else loss_meter.avg
-            log(f"epoch {epoch}: train loss avg {loss_meter.avg:.4f} "
+            metric = -epoch_loss_avg if higher_is_better else epoch_loss_avg
+            log(f"epoch {epoch}: train loss avg {epoch_loss_avg:.4f} "
                 f"hours {train_hours:.2f}")
 
         if is_main:

@@ -20,7 +20,7 @@ from ...models import backbones as cls_backbones
 
 __all__ = [
     "resnet18_solov2", "resnet34_solov2", "resnet50_solov2",
-    "resnet101_solov2", "resnet152_solov2",
+    "resnet101_solov2", "resnet152_solov2", "vanb2_solov2", "convformerm36_solov2",
     "dinov3_vit_small_patch16_solov2",
     "dinov3_vit_small_plus_patch16_solov2",
     "dinov3_vit_base_patch16_solov2",
@@ -221,6 +221,14 @@ def resnet101_solov2(backbone_pretrained_path="", **kwargs):
 
 def resnet152_solov2(backbone_pretrained_path="", **kwargs):
     return _solov2("resnet152", backbone_pretrained_path, **kwargs)
+
+
+def vanb2_solov2(backbone_pretrained_path="", **kwargs):
+    return _solov2("van_b2", backbone_pretrained_path, **kwargs)
+
+
+def convformerm36_solov2(backbone_pretrained_path="", **kwargs):
+    return _solov2("convformer_m36", backbone_pretrained_path, **kwargs)
 
 # DINOv3 ViT backbones via the VitPyramidNeck multi-scale wrapper# (reference dinov3_vit_solov2.py factories)
 

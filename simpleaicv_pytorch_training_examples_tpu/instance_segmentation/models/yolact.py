@@ -21,7 +21,7 @@ from ...models import backbones as cls_backbones
 
 __all__ = [
     "resnet18_yolact", "resnet34_yolact", "resnet50_yolact",
-    "resnet101_yolact", "resnet152_yolact", "YOLACTAnchors",
+    "resnet101_yolact", "resnet152_yolact", "vanb2_yolact", "convformerm36_yolact", "YOLACTAnchors",
     "dinov3_vit_small_patch16_yolact",
     "dinov3_vit_small_plus_patch16_yolact",
     "dinov3_vit_base_patch16_yolact",
@@ -187,6 +187,14 @@ def resnet101_yolact(backbone_pretrained_path="", **kwargs):
 
 def resnet152_yolact(backbone_pretrained_path="", **kwargs):
     return _yolact("resnet152", backbone_pretrained_path, **kwargs)
+
+
+def vanb2_yolact(backbone_pretrained_path="", **kwargs):
+    return _yolact("van_b2", backbone_pretrained_path, **kwargs)
+
+
+def convformerm36_yolact(backbone_pretrained_path="", **kwargs):
+    return _yolact("convformer_m36", backbone_pretrained_path, **kwargs)
 
 # DINOv3 ViT backbones via the VitPyramidNeck multi-scale wrapper# (reference dinov3_vit_yolact.py factories)
 

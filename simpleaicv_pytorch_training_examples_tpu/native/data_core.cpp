@@ -45,21 +45,23 @@ void resize_bilinear(const uint8_t* src, int sh, int sw, uint8_t* dst,
   for (int y = 0; y < dh; ++y) {
     float syf = (y + 0.5f) * fy - 0.5f;
     int sy = static_cast<int>(syf);
-    sy = std::max(0, std::min(sy, sh - 2));
+    sy = std::max(0, std::min(sy, sh - 1));
+    const int sy1 = std::min(sy + 1, sh - 1);  // degenerate-height safe
     float wy = syf - sy;
     wy = std::max(0.0f, std::min(wy, 1.0f));
     const uint8_t* row0 = src + static_cast<size_t>(sy) * sw * 3;
-    const uint8_t* row1 = row0 + static_cast<size_t>(sw) * 3;
+    const uint8_t* row1 = src + static_cast<size_t>(sy1) * sw * 3;
     uint8_t* out = dst + static_cast<size_t>(y) * dw * 3;
     for (int x = 0; x < dw; ++x) {
       float sxf = (x + 0.5f) * fx - 0.5f;
       int sx = static_cast<int>(sxf);
-      sx = std::max(0, std::min(sx, sw - 2));
+      sx = std::max(0, std::min(sx, sw - 1));
+      const int sx1 = std::min(sx + 1, sw - 1);  // degenerate-width safe
       float wx = sxf - sx;
       wx = std::max(0.0f, std::min(wx, 1.0f));
       for (int c = 0; c < 3; ++c) {
-        float v00 = row0[sx * 3 + c], v01 = row0[(sx + 1) * 3 + c];
-        float v10 = row1[sx * 3 + c], v11 = row1[(sx + 1) * 3 + c];
+        float v00 = row0[sx * 3 + c], v01 = row0[sx1 * 3 + c];
+        float v10 = row1[sx * 3 + c], v11 = row1[sx1 * 3 + c];
         float v = (v00 * (1 - wx) + v01 * wx) * (1 - wy) +
                   (v10 * (1 - wx) + v11 * wx) * wy;
         out[x * 3 + c] = static_cast<uint8_t>(v + 0.5f);
@@ -82,7 +84,9 @@ uint8_t* saicv_decode_jpeg(const uint8_t* buf, size_t len, int max_side,
   JpegErr jerr;
   cinfo.err = jpeg_std_error(&jerr.mgr);
   jerr.mgr.error_exit = on_jpeg_error;
-  uint8_t* pixels = nullptr;
+  // volatile: modified between setjmp and longjmp, then read in the error
+  // path — without it the compiler may keep a stale copy in a register
+  uint8_t* volatile pixels = nullptr;
   if (setjmp(jerr.jump)) {
     jpeg_destroy_decompress(&cinfo);
     std::free(pixels);

@@ -19,9 +19,15 @@ class CocoSemanticSegmentation:
         self.image_dir = os.path.join(root_dir, "images", set_name)
         if not os.path.exists(self.image_dir):
             self.image_dir = os.path.join(root_dir, set_name)
-        with open(os.path.join(root_dir, "annotations",
-                               f"instances_{set_name}.json")) as f:
-            data = json.load(f)
+        ann_file = os.path.join(root_dir, "annotations",
+                                f"instances_{set_name}.json")
+        # tolerate a missing dataset root: configs must stay importable on
+        # machines without the data (the loader errors on first use)
+        if os.path.exists(ann_file):
+            with open(ann_file) as f:
+                data = json.load(f)
+        else:
+            data = {"categories": [], "images": [], "annotations": []}
         cat_ids = sorted(c["id"] for c in data["categories"])
         self.cat_id_to_label = {cid: i + 1 for i, cid in enumerate(cat_ids)}
         self.num_classes = len(cat_ids) + 1  # + background

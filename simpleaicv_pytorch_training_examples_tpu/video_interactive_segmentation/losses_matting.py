@@ -15,7 +15,7 @@ from ..human_matting.losses import (FusionAlphaLoss, FusionLaplacianLoss,
                                     GloabelTrimapIouLoss, LocalAlphaLoss,
                                     LocalLaplacianLoss)
 
-__all__ = ["SAM2MattingLoss"]
+__all__ = ["SAM2MattingLoss", "SAM2MattingMultiLevelLoss"]
 
 
 class SAM2MattingLoss:
@@ -63,3 +63,19 @@ class SAM2MattingLoss:
         out = {k: v * self.weights[k] for k, v in raw.items()}
         out["loss"] = sum(out.values(), jnp.float32(0.0))
         return out
+
+
+class SAM2MattingMultiLevelLoss(SAM2MattingLoss):
+    """Supervises ALL mask-level matting outputs (reference
+    video_interactive_segmentation/losses_matting.py
+    SAM2MattingMultiLevelLoss): when preds carry a level list, the matting
+    family losses are computed per level and averaged, instead of
+    supervising only the selected level."""
+
+    def __call__(self, preds, alpha, trimap):
+        if isinstance(preds[0], (list, tuple)):  # per-level triples
+            dicts = [SAM2MattingLoss.__call__(self, p, alpha, trimap)
+                     for p in preds]
+            inv = 1.0 / len(dicts)
+            return {k: sum(d[k] for d in dicts) * inv for k in dicts[0]}
+        return SAM2MattingLoss.__call__(self, preds, alpha, trimap)

@@ -67,3 +67,17 @@ def test_non_jpeg_falls_back():
     ok, enc = cv2.imencode(".png", img)
     dec = decode_jpeg(enc.tobytes())  # png bytes through the jpeg path
     assert dec is not None and dec.shape == (20, 20, 3)
+
+
+def test_decode_degenerate_1px_dims():
+    """Regression: resize_bilinear used to clamp to sh-2/sw-2 and read past
+    the source buffer for 1-pixel-tall/wide JPEGs."""
+    from simpleaicv_pytorch_training_examples_tpu.data.native_jpeg import (
+        decode_jpeg)
+
+    for h, w in [(1, 300), (300, 1), (1, 1), (2, 500)]:
+        blob = _jpeg_blob(h, w)
+        out = decode_jpeg(blob, max_side=64)
+        assert out is not None and max(out.shape[:2]) == 64 or \
+            max(out.shape[:2]) == max(h, w)  # tiny side may round up to 1
+        assert out.dtype == np.uint8

@@ -8,6 +8,11 @@ import os
 
 _ROOT = os.environ.get("SIMPLEAICV_DATA_ROOT", "/root/datasets")
 
+# converted / trained checkpoints referenced by experiment configs
+# (reference: /root/autodl-tmp/pretrained_models, tools/path.py)
+pretrained_models_path = os.environ.get(
+    "SIMPLEAICV_PRETRAINED_ROOT", os.path.join(_ROOT, "pretrained_models"))
+
 CIFAR10_path = os.path.join(_ROOT, "CIFAR10")
 CIFAR100_path = os.path.join(_ROOT, "CIFAR100")
 ILSVRC2012_path = os.path.join(_ROOT, "ILSVRC2012")

@@ -48,7 +48,7 @@ def main():
         CheckpointStore)
     from simpleaicv_pytorch_training_examples_tpu.utils.ema import ema_init
     from simpleaicv_pytorch_training_examples_tpu.utils.meters import (
-        AccMeter, AverageMeter)
+        AccMeter)
     from simpleaicv_pytorch_training_examples_tpu.utils.schedules import (
         schedule_value)
 
@@ -126,6 +126,7 @@ def main():
         use_ema_model=use_ema,
         ema_model_decay=getattr(config, "ema_model_decay", 0.9999),
         clip_max_norm=getattr(config, "clip_max_norm", 0.0),
+        clip_grad_value=getattr(config, "clip_grad_value", 0.0),
         compute_dtype=jnp.bfloat16 if getattr(config, "use_amp", True)
         else jnp.float32)
     eval_step = make_classification_eval_step(
@@ -158,25 +159,34 @@ def main():
     for epoch in range(start_epoch, config.epochs + 1):
         train_loader.set_epoch(epoch)
         epoch_start = time.time()
-        loss_meter = AverageMeter()
-        skips = 0
+        # device-side running sums over EVERY iteration (reference semantics,
+        # tools/scripts.py:250-268); materialized once per print interval
+        loss_sum, skip_sum, n_iters = None, None, 0
+        epoch_loss_avg, skips = 0.0, 0
 
         for it, batch in enumerate(train_loader):
             batch = shard_batch(batch, mesh)
             rng = jax.random.fold_in(base_rng,
                                      (epoch - 1) * steps_per_epoch + it)
             state, metrics = train_step(state, batch, rng)
-            if (it + 1) % getattr(config, "print_interval", 100) == 0:
-                loss_v = float(metrics["loss"])
-                skipped = float(metrics["skipped"])
-                skips += int(skipped)
-                loss_meter.update(loss_v, 1)
-                lr_now = schedule_value(
-                    scheduler_name, scheduler_params, config.epochs,
-                    optimizer_params["lr"],
-                    (epoch - 1) + it / steps_per_epoch)
-                log(f"epoch {epoch} iter {it + 1}/{steps_per_epoch} "
-                    f"lr {lr_now:.6f} loss {loss_v:.4f} skipped {skips}")
+            loss_sum = metrics["loss"] if loss_sum is None \
+                else loss_sum + metrics["loss"]
+            skip_sum = metrics["skipped"] if skip_sum is None \
+                else skip_sum + metrics["skipped"]
+            n_iters += 1
+            last_iter = it + 1 == steps_per_epoch
+            if (it + 1) % getattr(config, "print_interval", 100) == 0 \
+                    or last_iter:
+                skips = int(float(skip_sum))
+                epoch_loss_avg = float(loss_sum) / max(1, n_iters - skips)
+                if (it + 1) % getattr(config, "print_interval", 100) == 0:
+                    lr_now = schedule_value(
+                        scheduler_name, scheduler_params, config.epochs,
+                        optimizer_params["lr"],
+                        (epoch - 1) + it / steps_per_epoch)
+                    log(f"epoch {epoch} iter {it + 1}/{steps_per_epoch} "
+                        f"lr {lr_now:.6f} loss {float(metrics['loss']):.4f} "
+                        f"avg {epoch_loss_avg:.4f} skipped {skips}")
 
         train_hours += (time.time() - epoch_start) / 3600.0
 
@@ -191,7 +201,7 @@ def main():
             acc_meter.update(top1.sum(), topk.sum(), n_real)
         acc1, acc5 = acc_meter.acc1, acc_meter.acc_topk
         log(f"epoch {epoch}: top1 {acc1:.3f} top5 {acc5:.3f} "
-            f"train loss avg {loss_meter.avg:.4f} hours {train_hours:.2f}")
+            f"train loss avg {epoch_loss_avg:.4f} hours {train_hours:.2f}")
 
         if is_main:
             if acc1 > best_acc:

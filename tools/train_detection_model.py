@@ -56,7 +56,7 @@ def build_loss_fn(model, config):
 def main():
     args = parse_args()
     from simpleaicv_pytorch_training_examples_tpu.engine.evaluators import (
-        detection_coco_evaluator)
+        detection_coco_evaluator, detection_voc_evaluator)
     from simpleaicv_pytorch_training_examples_tpu.engine.runner import (
         run_training)
     from simpleaicv_pytorch_training_examples_tpu.utils import (
@@ -65,10 +65,13 @@ def main():
     config = load_config_from_work_dir(args.work_dir, "train_config")
     if not hasattr(config, "eval_epochs") and hasattr(config, "eval_epoch"):
         config.eval_epochs = config.eval_epoch
+    evaluator = detection_voc_evaluator \
+        if getattr(config, "eval_type", "COCO") == "VOC" \
+        else detection_coco_evaluator
 
     return run_training(config, args.work_dir,
                         build_loss_fn=build_loss_fn,
-                        build_eval=detection_coco_evaluator)
+                        build_eval=evaluator)
 
 
 if __name__ == "__main__":
