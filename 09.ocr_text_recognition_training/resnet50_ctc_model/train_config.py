@@ -2,12 +2,12 @@
 
 Mirrors /root/reference/09.ocr_text_recognition_training/
 resnet50_ctc_model/train_config.py. Target LCS precision 99.14
-(BASELINE.md). Char table: supply a final_char_table file with one char
-per line (the reference's 12,111-char table) via chars_file.
+(BASELINE.md). Char table: the shipped 12,111-char merged table
+(char_sets/final_char_table.txt) by default; a dataset-local table
+overrides it.
 """
 
 import os
-import string
 import sys
 
 BASE_DIR = os.path.dirname(
@@ -23,20 +23,23 @@ from simpleaicv_pytorch_training_examples_tpu.text_recognition.common import (
     CTCTextLabelConverter, KeepRatioResizeTextRecognitionCollater,
     Normalize, RandomBrightness, RandomBlur, RandomRotate, load_state_dict)
 from simpleaicv_pytorch_training_examples_tpu.data import Compose
+from simpleaicv_pytorch_training_examples_tpu.text_recognition.char_sets import (
+    FINAL_CHAR_TABLE)
 
+# dataset-specific table wins if present; the shipped 12,111-char merged
+# table (reference final_char_table.py) is the default
 _chars_file = os.path.join(text_recognition_dataset_path,
                            "final_char_table.txt")
+if not os.path.exists(_chars_file):
+    _chars_file = FINAL_CHAR_TABLE
 
 
 class config:
     network = "resnet50_ctc_model"
     input_image_size = (32, 512)
 
-    converter = CTCTextLabelConverter(
-        chars=None if os.path.exists(_chars_file) else list(
-            string.printable.strip()),
-        chars_file=_chars_file if os.path.exists(_chars_file) else None,
-        str_max_length=80)
+    converter = CTCTextLabelConverter(chars_file=_chars_file,
+                                      str_max_length=80)
     num_classes = converter.num_classes
 
     backbone_pretrained_path = ""

@@ -15,3 +15,7 @@ import os
 
 CHAR_SETS_DIR = os.path.dirname(os.path.abspath(__file__))
 ASCII_CHAR_TABLE = os.path.join(CHAR_SETS_DIR, "ascii_char_table.txt")
+# the merged 12,111-char table (digits + ascii + common symbols + the GB
+# common-standard Chinese table + Modern Chinese Dictionary additions),
+# regenerated from the reference's final_char_table list as plain data
+FINAL_CHAR_TABLE = os.path.join(CHAR_SETS_DIR, "final_char_table.txt")

@@ -28,7 +28,11 @@ class CTCTextLabelConverter:
                  garbage_char=GARBAGE_CHAR, str_max_length=80):
         if chars is None and chars_file:
             with open(chars_file, encoding="utf-8") as f:
-                chars = [line.rstrip("\n") for line in f if line.rstrip()]
+                # one char per line; ' ' (space) is a valid table entry, so
+                # only the trailing newline may be stripped
+                chars = [line[:-1] if line.endswith("\n") else line
+                         for line in f]
+                chars = [c for c in chars if c]
         assert chars, "char table required"
         if garbage_char not in chars:
             chars = list(chars) + [garbage_char]

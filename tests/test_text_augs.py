@@ -44,3 +44,24 @@ def test_distort_stretch_perspective_scale():
         assert 0.0 <= float(s["image"].min())
         assert float(s["image"].max()) <= 255.0
         assert s["label"] == "hello world text"
+
+
+def test_final_char_table_cjk_roundtrip():
+    """The shipped 12,111-char merged table (reference final_char_table.py
+    parity): 12113 classes (chars + garbage + blank), space preserved,
+    CJK encodes/decodes."""
+    from simpleaicv_pytorch_training_examples_tpu.text_recognition.char_sets import (
+        FINAL_CHAR_TABLE)
+    from simpleaicv_pytorch_training_examples_tpu.text_recognition.common import (
+        CTCTextLabelConverter)
+
+    cv = CTCTextLabelConverter(chars_file=FINAL_CHAR_TABLE,
+                               str_max_length=80, garbage_char="㍿")
+    assert cv.num_classes == 12113
+    assert " " in cv.char_to_index
+    enc, lens = cv.encode(["中国 Hello 123", "深度学习"])
+    rt = "".join(cv.index_to_char[i] for i in enc[0][: int(lens[0])])
+    assert rt == "中国 Hello 123"
+    # OOV maps to the garbage char
+    enc2, lens2 = cv.encode(["の㍿"])  # 'の' IS in the table; '㍿' garbage
+    assert cv.index_to_char[enc2[0][0]] == "の"
