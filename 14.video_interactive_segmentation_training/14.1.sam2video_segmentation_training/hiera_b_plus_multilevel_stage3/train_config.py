@@ -14,12 +14,13 @@ BASE_DIR = os.path.dirname(
         os.path.abspath(__file__)))))
 sys.path.append(BASE_DIR)
 
-from tools.path import video_interactive_segmentation_dataset_path
+from tools.path import (interactive_segmentation_dataset_path,
+                        video_interactive_segmentation_dataset_path)
 
 from simpleaicv_pytorch_training_examples_tpu.video_interactive_segmentation.models.segment_anything2.sam2 import sam2_hiera_base_plus_video
 from simpleaicv_pytorch_training_examples_tpu.video_interactive_segmentation import losses
 from simpleaicv_pytorch_training_examples_tpu.video_interactive_segmentation.datasets.sam2_video_segmentation_dataset import (
-    SAM2VideoSegmentationDataset, SAM2VideoCollater)
+    SAM2VideoSegmentationDataset, SAM2VideoBatchCollater)
 from simpleaicv_pytorch_training_examples_tpu.classification.common import (
     load_state_dict)
 
@@ -34,7 +35,8 @@ class config:
     # stage-2/3 frame_nums=8/16 recipes
     model = sam2_hiera_base_plus_video(image_size=input_image_size,
                                        use_gradient_checkpoint=True,
-                                       use_scan=True)
+                                       use_scan=True,
+                                       memory_cond_slots=2)
 
     # resume from the previous stage checkpoint
     trained_model_path = "../hiera_b_plus_stage2/checkpoints/best"
@@ -42,14 +44,28 @@ class config:
 
     train_criterion = losses.SAM2MultiLevelLoss()
 
+    # composite sources: SA-V video shards + SAM image sets mixed in
+    # as static 1-frame-repeated clips (reference
+    # sam2_video_segmentation_dataset.py:28-120)
     train_dataset = SAM2VideoSegmentationDataset(
-        video_interactive_segmentation_dataset_path,
-        set_name_list=["sa_v"],
-        set_type="train",
+        video_root_dir=video_interactive_segmentation_dataset_path,
+        video_set_name=["sa_v", "MOSE", "DAVIS2017", "YouTubeVOS2019"],
+        video_set_type="train",
+        image_root_dir=interactive_segmentation_dataset_path,
+        image_set_name=["sa_000020"],
+        image_set_type="train",
+        image_per_set_image_choose_max_num={"sa_000020": 100000},
+        per_video_choose_object_nums=2,
         frame_nums=frame_nums)
     test_dataset = None
-    train_collater = SAM2VideoCollater(resize=input_image_size,
-                                       frame_nums=frame_nums)
+    # condition frames (frame 0 + up to 1 random extra), 2 point-
+    # iteration frames with in-graph error clicks (reference
+    # sam2video_train.py:208-357, 840-911)
+    train_collater = SAM2VideoBatchCollater(
+        resize=input_image_size, frame_nums=frame_nums, n_points=2,
+        prompt_probs=(0.5, 0.25, 0.25), extra_cond_frames=1,
+        point_iter_frame_num=2)
+    decoder_point_iters = 2
 
     seed = 0
     batch_size = 4

@@ -11,7 +11,8 @@ import numpy as np
 
 from ...human_matting.datasets.human_matting_dataset import (
     HumanMattingDataset)
-from .sam_segmentation_dataset import load_points, mask_to_box, noise_box
+from .sam_segmentation_dataset import (load_points, mask_to_box, noise_box,
+                                       noise_mask)
 
 
 class SAMMattingDataset(HumanMattingDataset):
@@ -69,7 +70,7 @@ class SAMMattingCollater:
                     out["prompt_box"][i] = noise_box(box, (r, r))
                     out["prompt_box_valid"][i] = 1.0
             else:
-                small = cv2.resize(binary, (rq, rq))
+                small = cv2.resize(noise_mask(binary), (rq, rq))
                 out["prompt_mask"][i, :, :, 0] = (small > 0.5).astype(
                     np.float32)
                 out["prompt_mask_valid"][i] = 1.0

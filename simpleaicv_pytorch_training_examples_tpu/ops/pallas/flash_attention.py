@@ -1,18 +1,24 @@
-"""Pallas TPU flash attention (forward) with XLA-attention fallback.
+"""Pallas TPU flash attention: fused forward AND backward, with additive
+per-key bias.
 
-The hot kernel for the 4k-token SAM/SAM2 encoders (SURVEY.md §5
-"long-context": SAM 1024^2 -> 64x64 = 4096 tokens). Streams K/V blocks
-through VMEM with a running (max, sumexp, acc) online-softmax state, so the
-[N, N] score matrix never materializes in HBM — O(N) memory instead of
-O(N^2), matmuls on the MXU in bf16 with fp32 accumulation.
+The hot kernel for the 4k-token SAM/SAM2 encoders and — above all — the
+SAM2 memory cross-attention (SURVEY.md §5 "long-context"): 4096 queries
+attending to a ~28.7k-token memory bank (7 mask memories x 4096 + object
+pointers) with a per-key validity bias. Materializing those logits is a
+[4096, 28736] fp32 tensor per layer (~470 MB per batch item); this kernel
+streams K/V blocks through VMEM with an online-softmax state so the score
+matrix never exists in HBM — O(N) memory, MXU matmuls in the input dtype
+(bf16 at full rate) with fp32 accumulation.
 
-The backward pass currently uses XLA attention via jax.custom_vjp residual
-recompute (rematerialized standard attention) — fine for the encoder sizes
-here; a fused pallas backward is future work.
+Backward is fused too (flash-attention backward, two pallas kernels):
+the forward saves only the per-row logsumexp; dk/dv and dq are computed
+by streaming the same blocks again. The per-key bias gets a zero gradient
+(it encodes ring-buffer slot validity — constants).
 
-API: flash_attention(q, k, v, bias=None) with q/k/v [B, H, N, D].
-Falls back to plain XLA attention when shapes don't meet the tile
-constraints (N % block != 0, D > 256) or when not running on TPU.
+API: flash_attention(q, k, v, bias=None) with q/k/v [B, H, N, D] and bias
+[B, N_k] (per-key additive, broadcast over heads/queries). Key length is
+padded to the block size internally (padding keys get -1e9 bias).
+Falls back to plain XLA attention off-TPU or when D > 256.
 """
 
 import functools
@@ -23,34 +29,32 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# swept on v5e at SAM shapes (B8 H12 N4096 D64): 1024/1024 -> 8.1 ms vs
-# XLA attention 7.4 ms; 512/512 -> 12.9 ms. XLA's fused attention is the
-# default path (see flash_attention below); the pallas kernel is kept at
-# near-parity for bias/long-sequence cases XLA fuses less well.
 DEFAULT_BLOCK_Q = 1024
 DEFAULT_BLOCK_K = 1024
+_NEG_INF = -1e9
 
 
 def _attention_reference(q, k, v, bias=None):
-    """Plain XLA attention, fp32 softmax (fallback + backward)."""
+    """Plain XLA attention, fp32 softmax (fallback path)."""
     d = q.shape[-1]
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                         preferred_element_type=jnp.float32)
     logits = logits * (d**-0.5)
     if bias is not None:
-        logits = logits + bias
+        logits = logits + bias[:, None, None, :]
     probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
 
 
-def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
-                      *, n_k_steps, sm_scale):
+# ---------------------------------------------------------------- forward
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, lse_ref,
+                m_scr, l_scr, acc_scr, *, n_k_steps, sm_scale):
     """Grid = (batch*head, q_block, k_step), k innermost ("arbitrary"):
-    each K/V block is DMA'd exactly once per q-block by the pipeline, and
-    the online-softmax state (max / sumexp / acc) lives in VMEM scratch
-    across k steps. Dots run on NATIVE-dtype operands (bf16 at full MXU
-    rate) with fp32 accumulation via preferred_element_type.
-    """
+    each K/V block is DMA'd once per q-block by the pipeline; the online
+    softmax state (max / sumexp / acc) lives in VMEM scratch across k
+    steps. Dots run on native-dtype operands with fp32 accumulation."""
     kstep = pl.program_id(2)
 
     @pl.when(kstep == 0)
@@ -59,10 +63,11 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[...]  # [block_q, d], input dtype
+    q = q_ref[...]  # [block_q, d]
     k = k_ref[...]  # [block_k, d]
     v = v_ref[...]
     s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * sm_scale
+    s = s + b_ref[0].astype(jnp.float32)[None, :]
     m_prev = m_scr[...]
     m_new = jnp.maximum(m_prev, s.max(axis=-1, keepdims=True))
     p = jnp.exp(s - m_new)
@@ -74,78 +79,249 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
 
     @pl.when(kstep == n_k_steps - 1)
     def _finalize():
-        o_ref[...] = (acc_scr[...] / l_scr[...]).astype(o_ref.dtype)
+        l = l_scr[...]
+        o_ref[...] = (acc_scr[...] / l).astype(o_ref.dtype)
+        lse_ref[0] = (m_scr[...] + jnp.log(l))[:, 0]
 
 
-def _flash_forward(q, k, v, block_q, block_k):
-    b, h, n_q, d = q.shape
-    n_k = k.shape[2]
+def _flash_forward(q, k, v, bias, block_q, block_k):
+    """q/k/v [G, N, D] (G = batch*heads), bias [G, 1, N_k] fp32.
+    Returns (out [G, N_q, D], lse [G, 1, N_q] fp32)."""
+    g, n_q, d = q.shape
+    n_k = k.shape[1]
     sm_scale = d**-0.5
-    q2 = q.reshape(b * h, n_q, d)
-    k2 = k.reshape(b * h, n_k, d)
-    v2 = v.reshape(b * h, n_k, d)
     n_k_steps = n_k // block_k
 
-    kernel = functools.partial(_flash_fwd_kernel, n_k_steps=n_k_steps,
+    kernel = functools.partial(_fwd_kernel, n_k_steps=n_k_steps,
                                sm_scale=sm_scale)
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
-        grid=(b * h, n_q // block_q, n_k_steps),
+        grid=(g, n_q // block_q, n_k_steps),
         in_specs=[
             pl.BlockSpec((None, block_q, d), lambda i, j, s: (i, j, 0)),
             pl.BlockSpec((None, block_k, d), lambda i, j, s: (i, s, 0)),
             pl.BlockSpec((None, block_k, d), lambda i, j, s: (i, s, 0)),
+            pl.BlockSpec((None, 1, block_k), lambda i, j, s: (i, 0, s)),
         ],
-        out_specs=pl.BlockSpec((None, block_q, d),
-                               lambda i, j, s: (i, j, 0)),
-        out_shape=jax.ShapeDtypeStruct((b * h, n_q, d), q.dtype),
+        out_specs=[
+            pl.BlockSpec((None, block_q, d), lambda i, j, s: (i, j, 0)),
+            pl.BlockSpec((None, 1, block_q), lambda i, j, s: (i, 0, j)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((g, n_q, d), q.dtype),
+            jax.ShapeDtypeStruct((g, 1, n_q), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, d), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
-    )(q2, k2, v2)
-    return out.reshape(b, h, n_q, d)
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(q, k, v, bias)
+    return out, lse
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _flash_attention_nobias(q, k, v, block_q, block_k):
-    return _flash_forward(q, k, v, block_q, block_k)
+# --------------------------------------------------------------- backward
 
 
-def _fwd(q, k, v, block_q, block_k):
-    return _flash_forward(q, k, v, block_q, block_k), (q, k, v)
+def _bwd_dkdv_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
+                     b_ref, dk_ref, dv_ref, dk_scr, dv_scr,
+                     *, n_q_steps, sm_scale):
+    """Grid = (batch*head, k_block, q_step), q innermost: accumulate
+    dK/dV for one K/V block while streaming q/dO/lse/delta blocks."""
+    qstep = pl.program_id(2)
+
+    @pl.when(qstep == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[...]          # [block_q, d]
+    do = do_ref[...]        # [block_q, d]
+    lse = lse_ref[0]        # [block_q]
+    delta = delta_ref[0]    # [block_q]
+    k = k_ref[...]          # [block_k, d]
+    v = v_ref[...]
+
+    # s^T : [block_k, block_q]
+    st = jnp.dot(k, q.T, preferred_element_type=jnp.float32) * sm_scale
+    st = st + b_ref[0].astype(jnp.float32)[:, None]
+    pt = jnp.exp(st - lse[None, :])
+    dv_scr[...] += jnp.dot(pt.astype(do.dtype), do,
+                           preferred_element_type=jnp.float32)
+    dpt = jnp.dot(v, do.T, preferred_element_type=jnp.float32)
+    dst = pt * (dpt - delta[None, :]) * sm_scale
+    dk_scr[...] += jnp.dot(dst.astype(q.dtype), q,
+                           preferred_element_type=jnp.float32)
+
+    @pl.when(qstep == n_q_steps - 1)
+    def _finalize():
+        dk_ref[...] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[...] = dv_scr[...].astype(dv_ref.dtype)
 
 
-def _bwd(block_q, block_k, res, g):
-    # rematerialized XLA backward (encoder sizes fit; XLA also wins the fwd
-    # at measured shapes, so a fused pallas backward is not the bottleneck)
-    q, k, v = res
-    _, vjp = jax.vjp(lambda q, k, v: _attention_reference(q, k, v), q, k, v)
-    return vjp(g)
+def _bwd_dq_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
+                   b_ref, dq_ref, dq_scr, *, n_k_steps, sm_scale):
+    """Grid = (batch*head, q_block, k_step), k innermost: accumulate dQ
+    for one Q block while streaming k/v blocks."""
+    kstep = pl.program_id(2)
+
+    @pl.when(kstep == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    q = q_ref[...]
+    do = do_ref[...]
+    lse = lse_ref[0]
+    delta = delta_ref[0]
+    k = k_ref[...]
+    v = v_ref[...]
+
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * sm_scale
+    s = s + b_ref[0].astype(jnp.float32)[None, :]
+    p = jnp.exp(s - lse[:, None])
+    dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+    ds = p * (dp - delta[:, None]) * sm_scale
+    dq_scr[...] += jnp.dot(ds.astype(k.dtype), k,
+                           preferred_element_type=jnp.float32)
+
+    @pl.when(kstep == n_k_steps - 1)
+    def _finalize():
+        dq_ref[...] = dq_scr[...].astype(dq_ref.dtype)
 
 
-_flash_attention_nobias.defvjp(_fwd, _bwd)
+def _flash_backward(q, k, v, bias, out, lse, g_out, block_q, block_k):
+    g, n_q, d = q.shape
+    n_k = k.shape[1]
+    sm_scale = d**-0.5
+    # delta = rowsum(dO * O): tiny elementwise pass, XLA fuses it
+    delta = jnp.sum(g_out.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=-1)[:, None, :]  # [G, 1, n_q]
+
+    dkdv = functools.partial(_bwd_dkdv_kernel,
+                             n_q_steps=n_q // block_q, sm_scale=sm_scale)
+    dk, dv = pl.pallas_call(
+        dkdv,
+        grid=(g, n_k // block_k, n_q // block_q),
+        in_specs=[
+            pl.BlockSpec((None, block_q, d), lambda i, j, s: (i, s, 0)),
+            pl.BlockSpec((None, block_q, d), lambda i, j, s: (i, s, 0)),
+            pl.BlockSpec((None, 1, block_q), lambda i, j, s: (i, 0, s)),
+            pl.BlockSpec((None, 1, block_q), lambda i, j, s: (i, 0, s)),
+            pl.BlockSpec((None, block_k, d), lambda i, j, s: (i, j, 0)),
+            pl.BlockSpec((None, block_k, d), lambda i, j, s: (i, j, 0)),
+            pl.BlockSpec((None, 1, block_k), lambda i, j, s: (i, 0, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, block_k, d), lambda i, j, s: (i, j, 0)),
+            pl.BlockSpec((None, block_k, d), lambda i, j, s: (i, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((g, n_k, d), k.dtype),
+            jax.ShapeDtypeStruct((g, n_k, d), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(q, g_out, lse, delta, k, v, bias)
+
+    dqk = functools.partial(_bwd_dq_kernel,
+                            n_k_steps=n_k // block_k, sm_scale=sm_scale)
+    dq = pl.pallas_call(
+        dqk,
+        grid=(g, n_q // block_q, n_k // block_k),
+        in_specs=[
+            pl.BlockSpec((None, block_q, d), lambda i, j, s: (i, j, 0)),
+            pl.BlockSpec((None, block_q, d), lambda i, j, s: (i, j, 0)),
+            pl.BlockSpec((None, 1, block_q), lambda i, j, s: (i, 0, j)),
+            pl.BlockSpec((None, 1, block_q), lambda i, j, s: (i, 0, j)),
+            pl.BlockSpec((None, block_k, d), lambda i, j, s: (i, s, 0)),
+            pl.BlockSpec((None, block_k, d), lambda i, j, s: (i, s, 0)),
+            pl.BlockSpec((None, 1, block_k), lambda i, j, s: (i, 0, s)),
+        ],
+        out_specs=pl.BlockSpec((None, block_q, d),
+                               lambda i, j, s: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((g, n_q, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(q, g_out, lse, delta, k, v, bias)
+    return dq, dk, dv
+
+
+# ------------------------------------------------------------- custom vjp
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _flash(q, k, v, bias, block_q, block_k):
+    out, _ = _flash_forward(q, k, v, bias, block_q, block_k)
+    return out
+
+
+def _flash_fwd_rule(q, k, v, bias, block_q, block_k):
+    out, lse = _flash_forward(q, k, v, bias, block_q, block_k)
+    return out, (q, k, v, bias, out, lse)
+
+
+def _flash_bwd_rule(block_q, block_k, res, g_out):
+    q, k, v, bias, out, lse = res
+    dq, dk, dv = _flash_backward(q, k, v, bias, out, lse, g_out,
+                                 block_q, block_k)
+    # the bias encodes slot validity (constants) — zero gradient
+    return dq, dk, dv, jnp.zeros_like(bias)
+
+
+_flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
 
 
 def flash_attention(q, k, v, bias=None,
                     block_q=DEFAULT_BLOCK_Q, block_k=DEFAULT_BLOCK_K,
                     force_pallas=False):
-    """[B, H, N, D] attention.
+    """[B, H, N, D] attention with optional per-key bias [B, N_k].
 
-    Measured on v5e (B8 H12 N4096 D64, bf16): XLA's fused attention
-    7.4 ms vs this pallas kernel 8.1 ms — XLA is the default path on this
-    generation; the pallas kernel is opt-in (`force_pallas=True`) and
-    kept at near-parity as the substrate for cases XLA fuses less well
-    (additive bias variants, much longer sequences, future fused
-    backward)."""
-    n_q, n_k = q.shape[2], k.shape[2]
-    d = q.shape[3]
+    On TPU with force_pallas=True (or via use_flash_attention model
+    flags), runs the fused pallas forward+backward; queries/keys are
+    zero-padded to the block size (padding keys get -1e9 bias, padded
+    query rows are sliced off). Off-TPU or for D > 256, falls back to
+    plain XLA attention."""
+    b, h, n_q, d = q.shape
+    n_k = k.shape[2]
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
-    tileable = (bias is None and n_q % block_q == 0 and
-                n_k % block_k == 0 and d <= 256)
-    if force_pallas and on_tpu and tileable:
-        return _flash_attention_nobias(q, k, v, block_q, block_k)
-    return _attention_reference(q, k, v, bias)
+    if not (force_pallas and on_tpu and d <= 256):
+        return _attention_reference(q, k, v, bias)
+
+    block_q = min(block_q, _round_up(n_q, 128))
+    block_k = min(block_k, _round_up(n_k, 128))
+    pad_q = _round_up(n_q, block_q) - n_q
+    pad_k = _round_up(n_k, block_k) - n_k
+
+    q2 = q.reshape(b * h, n_q, d)
+    k2 = k.reshape(b * h, n_k, d)
+    v2 = v.reshape(b * h, n_k, d)
+    bias2 = jnp.zeros((b, n_k), jnp.float32) if bias is None \
+        else bias.astype(jnp.float32)
+    bias2 = jnp.repeat(bias2, h, axis=0) if h > 1 else bias2
+    bias2 = bias2[:, None, :]  # [G, 1, n_k] (TPU block-rank constraint)
+    if pad_q:
+        q2 = jnp.pad(q2, ((0, 0), (0, pad_q), (0, 0)))
+    if pad_k:
+        k2 = jnp.pad(k2, ((0, 0), (0, pad_k), (0, 0)))
+        v2 = jnp.pad(v2, ((0, 0), (0, pad_k), (0, 0)))
+        bias2 = jnp.pad(bias2, ((0, 0), (0, 0), (0, pad_k)),
+                        constant_values=_NEG_INF)
+
+    out = _flash(q2, k2, v2, bias2, block_q, block_k)
+    if pad_q:
+        out = out[:, :n_q]
+    return out.reshape(b, h, n_q, d)

@@ -38,51 +38,150 @@ def _make_trimap(alpha, kernel_size=15):
 
 
 class SAM2VideoMattingDataset:
+    """Composite video matting mixing (reference
+    sam2_video_matting_dataset.py:1310-1451 video-matting composites):
+
+    - foreground-matte video sets (frames are the foreground plates,
+      per-frame `_alpha.png` mattes) composited over random background
+      video clips with a per-set probability
+      (`use_background_video_prob`, reference
+      video_matting_use_background_video_prob);
+    - image matting sets mixed in as static 1-frame-repeated clips;
+    - per-source video caps.
+
+    Disk layouts under the respective roots:
+    - video sets: <set>/<type>/<video_id>/00000.jpg + 00000_alpha.png;
+    - background videos: <type>/<video_id>/00000.jpg (no mattes);
+    - image sets: <set>/<type>/image.jpg + image_alpha.png.
+    """
 
     def __init__(self, root_dir, set_name_list=(), set_type="train",
-                 frame_nums=8, transform=None):
+                 frame_nums=8, transform=None,
+                 per_set_video_choose_max_num=None,
+                 background_root_dir=None, background_set_type="train",
+                 use_background_video_prob=None,
+                 image_root_dir=None, image_set_name=(),
+                 image_set_type="train"):
         self.transform = transform
         self.frame_nums = frame_nums
-        self.videos = []
+        self.use_background_video_prob = use_background_video_prob
+        self.entries = []  # ("video", set, vdir, frames) | ("image", ...)
         for set_name in set_name_list:
             set_dir = os.path.join(root_dir, set_name, set_type)
             if not os.path.isdir(set_dir):
                 continue
-            for vid in sorted(os.listdir(set_dir)):
+            cap = per_set_video_choose_max_num
+            if isinstance(cap, dict):
+                cap = cap.get(set_name)
+            vids = sorted(v for v in os.listdir(set_dir)
+                          if os.path.isdir(os.path.join(set_dir, v)))
+            if cap is not None:
+                vids = vids[:cap]
+            for vid in vids:
                 vdir = os.path.join(set_dir, vid)
-                if not os.path.isdir(vdir):
-                    continue
                 frames = sorted(n for n in os.listdir(vdir)
                                 if n.endswith(".jpg"))
-                if len(frames) >= 1:
-                    self.videos.append((vdir, frames))
+                if frames:
+                    self.entries.append(("video", set_name, vdir, frames))
+        if image_root_dir:
+            for set_name in image_set_name:
+                set_dir = os.path.join(image_root_dir, set_name,
+                                       image_set_type)
+                if not os.path.isdir(set_dir):
+                    continue
+                for name in sorted(n for n in os.listdir(set_dir)
+                                   if n.endswith(".jpg")):
+                    stem = name.rsplit(".", 1)[0]
+                    ap = os.path.join(set_dir, stem + "_alpha.png")
+                    if os.path.exists(ap):
+                        self.entries.append(
+                            ("image", set_name,
+                             os.path.join(set_dir, name), ap))
+        # background video clips for compositing
+        self.background_videos = []
+        if background_root_dir:
+            bdir = os.path.join(background_root_dir, background_set_type)
+            if not os.path.isdir(bdir):
+                bdir = background_root_dir
+            if os.path.isdir(bdir):
+                for vid in sorted(os.listdir(bdir)):
+                    vdir = os.path.join(bdir, vid)
+                    if not os.path.isdir(vdir):
+                        continue
+                    frames = sorted(n for n in os.listdir(vdir)
+                                    if n.endswith(".jpg"))
+                    if frames:
+                        self.background_videos.append((vdir, frames))
 
     def __len__(self):
-        return len(self.videos)
+        return len(self.entries)
 
-    def __getitem__(self, idx):
+    def _bg_prob(self, set_name):
+        p = self.use_background_video_prob
+        if p is None:
+            return 0.0
+        if isinstance(p, dict):
+            return p.get(set_name, 0.0)
+        return float(p)
+
+    def _sample_background_clip(self, t, hw):
+        """Random background video clip resized to (h, w), t frames."""
         import cv2
-        vdir, frames = self.videos[idx]
-        t = self.frame_nums
+        vdir, frames = self.background_videos[
+            np.random.randint(len(self.background_videos))]
         if len(frames) >= t:
             start = np.random.randint(0, len(frames) - t + 1)
             chosen = frames[start:start + t]
         else:
-            chosen = frames + [frames[-1]] * (t - len(frames))
-        images, alphas = [], []
+            chosen = list(frames) + [frames[-1]] * (t - len(frames))
+        h, w = hw
+        out = []
         for name in chosen:
-            img = cv2.cvtColor(cv2.imread(os.path.join(vdir, name)),
+            bg = cv2.cvtColor(cv2.imread(os.path.join(vdir, name)),
+                              cv2.COLOR_BGR2RGB).astype(np.float32)
+            out.append(cv2.resize(bg, (w, h)))
+        return out
+
+    def __getitem__(self, idx):
+        import cv2
+        entry = self.entries[idx]
+        t = self.frame_nums
+        if entry[0] == "image":
+            _, set_name, image_path, alpha_path = entry
+            img = cv2.cvtColor(cv2.imread(image_path),
                                cv2.COLOR_BGR2RGB).astype(np.float32)
-            alpha_path = os.path.join(vdir,
-                                      name.rsplit(".", 1)[0] + "_alpha.png")
-            if os.path.exists(alpha_path):
-                a = cv2.imread(alpha_path,
-                               cv2.IMREAD_GRAYSCALE).astype(np.float32)
-                a = a / 255.0
+            a = cv2.imread(alpha_path,
+                           cv2.IMREAD_GRAYSCALE).astype(np.float32) / 255.0
+            images, alphas = [img] * t, [a] * t
+        else:
+            _, set_name, vdir, frames = entry
+            if len(frames) >= t:
+                start = np.random.randint(0, len(frames) - t + 1)
+                chosen = frames[start:start + t]
             else:
-                a = np.zeros(img.shape[:2], np.float32)
-            images.append(img)
-            alphas.append(a)
+                chosen = list(frames) + [frames[-1]] * (t - len(frames))
+            images, alphas = [], []
+            for name in chosen:
+                img = cv2.cvtColor(cv2.imread(os.path.join(vdir, name)),
+                                   cv2.COLOR_BGR2RGB).astype(np.float32)
+                alpha_path = os.path.join(
+                    vdir, name.rsplit(".", 1)[0] + "_alpha.png")
+                if os.path.exists(alpha_path):
+                    a = cv2.imread(alpha_path,
+                                   cv2.IMREAD_GRAYSCALE).astype(np.float32)
+                    a = a / 255.0
+                else:
+                    a = np.zeros(img.shape[:2], np.float32)
+                images.append(img)
+                alphas.append(a)
+            # composite the foreground plates over a random background
+            # video clip (reference video-matting composites)
+            if self.background_videos and \
+                    np.random.uniform() < self._bg_prob(set_name):
+                bgs = self._sample_background_clip(
+                    t, images[0].shape[:2])
+                images = [fg * a[..., None] + bg * (1.0 - a[..., None])
+                          for fg, a, bg in zip(images, alphas, bgs)]
         sample = {"images": images, "alphas": alphas}
         if self.transform is not None:
             sample = self.transform(sample)

@@ -62,6 +62,10 @@ class RoPEAttention(nn.Module):
     feat_sizes: tuple = (64, 64)
     rope_theta: float = 10000.0
     rope_k_repeat: bool = False
+    # fused pallas flash attention (ops/pallas/flash_attention.py): never
+    # materializes the [4096, ~28.7k] memory-bank score matrix; the
+    # per-key validity bias rides the kernel natively
+    use_flash: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -96,12 +100,18 @@ class RoPEAttention(nn.Module):
             k_rot = apply_rope(k_rot, cos_k, sin_k).astype(self.dtype)
             kp = jnp.concatenate([k_rot, kp[:, :, num_k_rope:]], axis=2)
 
-        attn = jnp.einsum("bhqd,bhkd->bhqk", qp, kp,
-                          preferred_element_type=jnp.float32) * (hd**-0.5)
-        if key_bias is not None:
-            attn = attn + key_bias[:, None, None, :]
-        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, vp)
+        if self.use_flash:
+            from ....ops.pallas.flash_attention import flash_attention
+            out = flash_attention(qp, kp, vp, bias=key_bias,
+                                  force_pallas=True)
+        else:
+            attn = jnp.einsum("bhqd,bhkd->bhqk", qp, kp,
+                              preferred_element_type=jnp.float32) * \
+                (hd**-0.5)
+            if key_bias is not None:
+                attn = attn + key_bias[:, None, None, :]
+            attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhqk,bhkd->bhqd", attn, vp)
         out = out.transpose(0, 2, 1, 3).reshape(b, nq, inter)
         return nn.Dense(self.inplanes, dtype=self.dtype,
                         name="out_proj")(out)
@@ -111,6 +121,7 @@ class MemoryAttentionLayer(nn.Module):
     inplanes: int = 256
     feedforward_planes: int = 2048
     feat_sizes: tuple = (64, 64)
+    use_flash: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -118,11 +129,13 @@ class MemoryAttentionLayer(nn.Module):
                  key_bias=None):
         t2 = nn.LayerNorm(dtype=self.dtype, name="norm1")(tgt)
         t2 = RoPEAttention(self.inplanes, 1, 1, None, self.feat_sizes,
-                           dtype=self.dtype, name="self_attn")(t2, t2, t2)
+                           use_flash=self.use_flash, dtype=self.dtype,
+                           name="self_attn")(t2, t2, t2)
         tgt = tgt + t2
         t2 = nn.LayerNorm(dtype=self.dtype, name="norm2")(tgt)
         t2 = RoPEAttention(self.inplanes, 1, 1, 64, self.feat_sizes,
-                           rope_k_repeat=True, dtype=self.dtype,
+                           rope_k_repeat=True, use_flash=self.use_flash,
+                           dtype=self.dtype,
                            name="cross_attn_image")(
                                t2, memory + pos, memory,
                                num_k_exclude_rope=num_k_exclude_rope,
@@ -140,6 +153,7 @@ class MemoryAttention(nn.Module):
     inplanes: int = 256
     layer_nums: int = 4
     feat_sizes: tuple = (64, 64)
+    use_flash: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -150,7 +164,8 @@ class MemoryAttention(nn.Module):
         output = curr + 0.1 * curr_pos
         for i in range(self.layer_nums):
             output = MemoryAttentionLayer(
-                self.inplanes, 2048, self.feat_sizes, self.dtype,
+                self.inplanes, 2048, self.feat_sizes, self.use_flash,
+                self.dtype,
                 name=f"layer_{i}")(output, memory, memory_pos, curr_pos,
                                    num_k_exclude_rope=num_obj_ptr_tokens,
                                    key_bias=key_bias)

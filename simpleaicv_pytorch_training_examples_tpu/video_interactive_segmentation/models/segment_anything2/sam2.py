@@ -14,9 +14,10 @@ a growing memory bank becomes a `jax.lax.scan` over frames with
 fixed-capacity ring buffers — `memory_mask_nums` mask-memory slots and
 `max_object_pointers` pointer slots, each carrying a frame index and a
 validity flag; invalid slots are masked out of the memory cross-attention
-with an additive key bias. Round-1 simplification: prompts are applied on
-frame 0 only (the reference also samples extra condition / point-iteration
-frames — staged recipes land in a later round).
+with an additive key bias. The reference's condition-frame sampling and
+point-iteration frames (sam2video_train.py:208-357, 840-911) are expressed
+as per-frame prompt arrays + [T] flag vectors with in-graph Gumbel-max
+error clicks (see SAM2Video.__call__).
 """
 
 import math
@@ -119,6 +120,9 @@ class SAM2Video(nn.Module):
     fpn_planes: int = 256
     memory_planes: int = 64
     memory_mask_nums: int = 7
+    # slots reserved for condition-frame memories (frame 0 + extra
+    # prompted frames); the rest of memory_mask_nums is the recent ring
+    memory_cond_slots: int = 1
     max_object_pointers: int = 16
     use_gradient_checkpoint: bool = False
     # "hiera" or a DINOv3 backbone registry name (reference
@@ -128,6 +132,9 @@ class SAM2Video(nn.Module):
     # across T-1 frames instead of T-1 inlined copies (same numerics,
     # much smaller HLO for the T=8/16 staged recipes)
     use_scan: bool = False
+    # route memory attention through the fused pallas flash kernel (TPU
+    # only; falls back to XLA attention off-TPU)
+    use_flash_attention: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -155,7 +162,7 @@ class SAM2Video(nn.Module):
         self.memory_attention = MemoryAttention(
             inplanes=self.fpn_planes, layer_nums=4,
             feat_sizes=(self.image_size // 16, self.image_size // 16),
-            dtype=self.dtype)
+            use_flash=self.use_flash_attention, dtype=self.dtype)
         self.memory_encoder = MemoryEncoder(inplanes=self.fpn_planes,
                                             planes=self.memory_planes,
                                             dtype=self.dtype)
@@ -234,11 +241,20 @@ class SAM2Video(nn.Module):
             "ptr_frame": jnp.full((p_max,), -10**6),
             "ptr_valid": jnp.zeros((p_max,)),
             "frame_idx": jnp.zeros((), jnp.int32),
+            # condition-frame slots used / tracked frames written (memory
+            # layout: slots [0, memory_cond_slots) hold condition-frame
+            # memories, the rest is the recent-frame ring)
+            "cond_count": jnp.zeros((), jnp.int32),
+            "track_count": jnp.zeros((), jnp.int32),
         }
 
     def _write_memory(self, carry, feat, best_mask, pointer, is_cond):
-        """Encode (feat, mask) into memory; condition frames take slot 0,
-        tracked frames rotate through slots 1..S-1."""
+        """Encode (feat, mask) into memory. Condition (prompted) frames fill
+        slots [0, memory_cond_slots); tracked frames rotate through the
+        remaining ring slots (reference prepare_memory_conditioned_features
+        keeps all cond-frame memories + the last N tracked memories,
+        sam2video_train.py:591-729 — here cond capacity is the static
+        memory_cond_slots)."""
         b = feat.shape[0]
         s16 = self.image_size // 16
         n_mem = s16 * s16
@@ -248,8 +264,13 @@ class SAM2Video(nn.Module):
             feat, jax.image.resize(
                 best_mask[..., None],
                 (b, self.image_size, self.image_size, 1), "bilinear"))
-        slot = jnp.where(is_cond, 0,
-                         1 + (frame_idx - 1) % max(s_mem - 1, 1))
+        cond_slots = max(1, min(self.memory_cond_slots, s_mem - 1))
+        ring = s_mem - cond_slots
+        is_cond_f = jnp.asarray(is_cond, jnp.float32)
+        cond_slot = jnp.minimum(carry["cond_count"], cond_slots - 1)
+        track_slot = cond_slots + carry["track_count"] % ring
+        slot = jnp.where(is_cond_f > 0, cond_slot,
+                         track_slot).astype(jnp.int32)
         carry = dict(carry)
         carry["mem_feats"] = carry["mem_feats"].at[slot].set(
             mem.reshape(b, n_mem, self.memory_planes))
@@ -263,7 +284,42 @@ class SAM2Video(nn.Module):
         carry["ptr_frame"] = carry["ptr_frame"].at[pslot].set(frame_idx)
         carry["ptr_valid"] = carry["ptr_valid"].at[pslot].set(1.0)
         carry["frame_idx"] = frame_idx + 1
+        carry["cond_count"] = carry["cond_count"] + \
+            (is_cond_f > 0).astype(jnp.int32)
+        carry["track_count"] = carry["track_count"] + \
+            (is_cond_f <= 0).astype(jnp.int32)
         return carry
+
+    def _point_iter_refine(self, conditioned, outs, gt_mask, rng, n_iters):
+        """Point-iteration refinement on a tracked frame (reference
+        sam2video_train.py:840-911 decoder_point_iters_sampling_and_
+        predict_mask): n_iters times, click the FP/FN region of the current
+        best mask (in-graph Gumbel-max draw) and re-decode on the SAME
+        memory-conditioned features with the accumulated clicks + the
+        previous best mask as dense prompt."""
+        from ....interactive_segmentation.error_click import (
+            sample_error_points_batch)
+
+        b = conditioned.shape[0]
+        masks_up, ious, obj, pointer, best_mask = outs
+        points = jnp.full((b, n_iters, 3), -1.0)
+        for it in range(n_iters):
+            best = jnp.argmax(ious, axis=-1)
+            bidx = jnp.arange(b)
+            pred_bin = (masks_up[bidx, best] > 0).astype(jnp.float32)
+            new_pt = sample_error_points_batch(
+                jax.random.fold_in(rng, it), pred_bin, gt_mask)
+            points = points.at[:, it].set(new_pt)
+            prompts = {
+                "prompt_point": points,
+                "prompt_box": jnp.zeros((b, 4)),
+                "prompt_box_valid": jnp.zeros((b,)),
+                "prompt_mask": best_mask[..., None],
+                "prompt_mask_valid": jnp.ones((b,)),
+            }
+            masks_up, ious, obj, pointer, best_mask = self._decode_frame(
+                conditioned, prompts)
+        return masks_up, ious, obj, pointer, best_mask
 
     def start_track(self, feat, prompts):
         """Prompted first frame: decode + seed the memory carry."""
@@ -275,9 +331,21 @@ class SAM2Video(nn.Module):
                                    is_cond=jnp.bool_(True))
         return (masks, ious, obj), carry
 
-    def track_frame(self, feat, pos, carry):
-        """Unprompted frame: memory-conditioned decode + memory update.
-        frame_idx is traced — one compiled program serves every frame."""
+    def track_frame(self, feat, pos, carry, frame_prompts=None,
+                    is_cond=None, gt_mask=None, iter_flag=None, rng=None,
+                    point_iters=0):
+        """Memory-conditioned frame: decode + memory update. frame_idx is
+        traced — one compiled program serves every frame.
+
+        Training extensions (all optional, defaults reproduce the
+        unprompted tracking step):
+        - frame_prompts: fixed-shape per-frame prompt dict; a non-condition
+          frame carries all-invalid prompts (label -1 points, valid=0
+          flags), which the prompt encoder maps to the no-prompt embeddings;
+        - is_cond: traced flag steering the memory slot (condition frames
+          fill the reserved cond slots);
+        - gt_mask [B,H,W] + iter_flag + rng + static point_iters: on
+          point-iteration frames, refine with in-graph error clicks."""
         b = feat.shape[0]
         s16 = self.image_size // 16
         n_mem = s16 * s16
@@ -325,10 +393,17 @@ class SAM2Video(nn.Module):
             num_obj_ptr_tokens=p_max * ratio, key_bias=key_bias)
         conditioned = conditioned.reshape(b, s16, s16, self.fpn_planes)
 
-        masks, ious, obj, pointer, best_mask = self._decode_frame(
-            conditioned, None)
-        carry = self._write_memory(carry, feat, best_mask, pointer,
-                                   is_cond=jnp.bool_(False))
+        outs = self._decode_frame(conditioned, frame_prompts)
+        if point_iters > 0 and gt_mask is not None:
+            refined = self._point_iter_refine(conditioned, outs, gt_mask,
+                                              rng, point_iters)
+            sel = iter_flag > 0 if iter_flag is not None else False
+            outs = tuple(jnp.where(sel, r, o)
+                         for r, o in zip(refined, outs))
+        masks, ious, obj, pointer, best_mask = outs
+        carry = self._write_memory(
+            carry, feat, best_mask, pointer,
+            is_cond=jnp.bool_(False) if is_cond is None else is_cond)
         return (masks, ious, obj), carry
 
     def add_prompt_frame(self, feat, prompts, carry):
@@ -340,11 +415,38 @@ class SAM2Video(nn.Module):
                                    is_cond=jnp.bool_(True))
         return (masks, ious, obj), carry
 
-    def __call__(self, images, frame0_prompts):
-        """images [B, T, H, W, 3]; frame0_prompts: SAM prompt dict."""
+    @staticmethod
+    def _slice_prompts(prompts, t):
+        """Per-frame slice of a [B,T,...] prompt dict (None passthrough)."""
+        if prompts is None:
+            return None
+        return {k: (v[:, t] if v is not None else None)
+                for k, v in prompts.items()}
+
+    def __call__(self, images, frame0_prompts, gt_masks=None,
+                 is_cond_frame=None, is_iter_frame=None, rng=None,
+                 point_iters=0):
+        """images [B, T, H, W, 3].
+
+        frame0_prompts: SAM prompt dict. Two layouts:
+        - frame-0 only (arrays without a T axis, e.g. prompt_point
+          [B,P,3]): the original recipe — prompts on frame 0, pure
+          tracking afterwards;
+        - per-frame (arrays with a T axis, e.g. prompt_point [B,T,P,3]):
+          the reference condition-frame recipe
+          (sam2video_train.py:208-357 prepare_batch_prompt_inputs) —
+          non-condition frames carry all-invalid prompts, which the prompt
+          encoder maps to no-prompt embeddings.
+
+        Training extensions (used with per-frame prompts):
+        - is_cond_frame [T]: 1.0 where the frame is a condition frame
+          (frame 0 is always one); steers the reserved memory slots;
+        - is_iter_frame [T] + gt_masks [B,T,H,W] + rng + static
+          point_iters > 0: point-iteration frames re-click the error
+          region in-graph and re-decode (reference
+          sam2video_train.py:840-911)."""
         b, t_frames = images.shape[0], images.shape[1]
         s16 = self.image_size // 16
-        n_mem = s16 * s16
 
         flat = images.reshape(b * t_frames, *images.shape[2:])
         features, positions = self.image_encoder(flat)
@@ -353,12 +455,35 @@ class SAM2Video(nn.Module):
         pos16 = positions[-1].reshape(b, t_frames, s16, s16,
                                       self.fpn_planes)
 
-        if self.use_scan and t_frames > 1:
-            (masks0, ious0, obj0), carry = self.start_track(
-                feat16[:, 0], frame0_prompts)
+        # per-frame prompts iff prompt_point carries a T axis: [B,T,P,3]
+        pp = frame0_prompts.get("prompt_point") \
+            if frame0_prompts is not None else None
+        per_frame = pp is not None and pp.ndim == 4
+        p0 = self._slice_prompts(frame0_prompts, 0) if per_frame \
+            else frame0_prompts
 
+        (masks0, ious0, obj0), carry = self.start_track(feat16[:, 0], p0)
+        if t_frames == 1:
+            return (masks0[:, None], ious0[:, None], obj0[:, None])
+
+        refine = point_iters > 0 and gt_masks is not None and per_frame
+        cond = is_cond_frame if is_cond_frame is not None else \
+            jnp.zeros((t_frames,))
+        iters = is_iter_frame if is_iter_frame is not None else \
+            jnp.zeros((t_frames,))
+        frame_rngs = jax.random.split(
+            rng if rng is not None else jax.random.PRNGKey(0), t_frames)
+
+        if self.use_scan:
             def body(mdl, carry, xt):
-                out, carry = mdl.track_frame(xt[0], xt[1], carry)
+                out, carry = mdl.track_frame(
+                    xt["feat"], xt["pos"], carry,
+                    frame_prompts=xt.get("prompts"),
+                    is_cond=xt["cond"],
+                    gt_mask=xt.get("gt"),
+                    iter_flag=xt["iter"],
+                    rng=xt["rng"],
+                    point_iters=point_iters if refine else 0)
                 return carry, out
 
             # broadcast every non-param collection too (the prompt
@@ -368,8 +493,19 @@ class SAM2Video(nn.Module):
                                                "batch_stats"),
                            split_rngs={"params": False},
                            in_axes=0, out_axes=0)
-            xs = (feat16[:, 1:].swapaxes(0, 1),
-                  pos16[:, 1:].swapaxes(0, 1))
+            xs = {
+                "feat": feat16[:, 1:].swapaxes(0, 1),
+                "pos": pos16[:, 1:].swapaxes(0, 1),
+                "cond": cond[1:],
+                "iter": iters[1:],
+                "rng": frame_rngs[1:],
+            }
+            if per_frame:
+                xs["prompts"] = {
+                    k: v[:, 1:].swapaxes(0, 1)
+                    for k, v in frame0_prompts.items() if v is not None}
+            if refine:
+                xs["gt"] = gt_masks[:, 1:].swapaxes(0, 1)
             _, (m, i, o) = scan(self, carry, xs)
             return (jnp.concatenate([masks0[:, None],
                                      m.swapaxes(0, 1)], axis=1),
@@ -378,115 +514,22 @@ class SAM2Video(nn.Module):
                     jnp.concatenate([obj0[:, None],
                                      o.swapaxes(0, 1)], axis=1))
 
-        # ---- frame 0: prompted, no memory conditioning ----
-        masks0, ious0, obj0, ptr0, best_mask0 = self._decode_frame(
-            feat16[:, 0], frame0_prompts)
-        mem_feat0, mem_pos0 = self.memory_encoder(
-            feat16[:, 0], jax.image.resize(
-                best_mask0[..., None],
-                (b, self.image_size, self.image_size, 1), "bilinear"))
-
-        # ---- fixed-capacity memory ring buffers ----
-        s_mem = self.memory_mask_nums
-        mem_feats = jnp.zeros((s_mem, b, n_mem, self.memory_planes))
-        mem_pos = jnp.zeros((s_mem, b, n_mem, self.memory_planes))
-        mem_frame = jnp.full((s_mem,), -10**6)
-        mem_valid = jnp.zeros((s_mem,))
-        # slot 0 = condition frame (frame 0), slots 1.. = recent frames
-        mem_feats = mem_feats.at[0].set(mem_feat0.reshape(
-            b, n_mem, self.memory_planes))
-        mem_pos = mem_pos.at[0].set(mem_pos0.reshape(
-            b, n_mem, self.memory_planes))
-        mem_frame = mem_frame.at[0].set(0)
-        mem_valid = mem_valid.at[0].set(1.0)
-
-        p_max = self.max_object_pointers
-        ptr_bank = jnp.zeros((p_max, b, self.fpn_planes))
-        ptr_frame = jnp.full((p_max,), -10**6)
-        ptr_valid = jnp.zeros((p_max,))
-        ptr_bank = ptr_bank.at[0].set(ptr0)
-        ptr_frame = ptr_frame.at[0].set(0)
-        ptr_valid = ptr_valid.at[0].set(1.0)
-
-        ratio = self.fpn_planes // self.memory_planes  # pointer splitting
-
-        # NOTE: static python loop over frames (T is a static 1/8/16 in the
-        # staged recipes). Ring-buffer indices are python ints, so the time
-        # encodings are compile-time gathers. An nn.scan rewrite (shared
-        # params broadcast over steps) is a planned compile-time
-        # optimization; semantics are identical.
-        all_masks = [masks0]
-        all_ious = [ious0]
-        all_obj = [obj0]
-        for frame_idx in range(1, t_frames):
-            feat = feat16[:, frame_idx]
-            pos = pos16[:, frame_idx]
-
-            # --- assemble memory keys with time encodings + validity ---
-            t_rel = jnp.clip(frame_idx - mem_frame, 0, s_mem - 1)  # [S]
-            time_enc = self.mask_memory_time_position_encoder[
-                jnp.clip(s_mem - t_rel - 1, 0, s_mem - 1).astype(jnp.int32)]
-            mem_pos_t = mem_pos + time_enc[:, None, None, :]
-            mem_k = mem_feats.transpose(1, 0, 2, 3).reshape(
-                b, s_mem * n_mem, self.memory_planes)
-            mem_p = mem_pos_t.transpose(1, 0, 2, 3).reshape(
-                b, s_mem * n_mem, self.memory_planes)
-            mem_bias = jnp.repeat(
-                jnp.where(mem_valid > 0, 0.0, -1e9), n_mem)  # [S*n_mem]
-
-            # --- object pointers (split into memory_planes chunks) ---
-            t_diff = jnp.clip(frame_idx - ptr_frame, 0,
-                              self.max_object_pointers - 1)
-            tpos = get_1d_sine_pe(
-                t_diff.astype(jnp.float32) /
-                max(self.max_object_pointers - 1, 1), self.fpn_planes)
-            tpos = self.object_pointer_time_position_projection(tpos)
-            ptrs = ptr_bank.reshape(p_max, b, ratio, self.memory_planes)
-            ptrs = ptrs.transpose(1, 0, 2, 3).reshape(
-                b, p_max * ratio, self.memory_planes)
-            ptr_p = jnp.broadcast_to(
-                jnp.repeat(tpos, ratio, axis=0)[None],
-                (b, p_max * ratio, self.memory_planes))
-            ptr_bias = jnp.repeat(
-                jnp.where(ptr_valid > 0, 0.0, -1e9), ratio)
-
-            memory = jnp.concatenate([mem_k, ptrs], axis=1)
-            memory_pos = jnp.concatenate([mem_p, ptr_p], axis=1)
-            key_bias = jnp.broadcast_to(
-                jnp.concatenate([mem_bias, ptr_bias])[None],
-                (b, memory.shape[1]))
-
-            cur = feat.reshape(b, n_mem, self.fpn_planes)
-            cur_pos = pos.reshape(b, n_mem, self.fpn_planes)
-            conditioned = self.memory_attention(
-                cur, memory, cur_pos, memory_pos,
-                num_obj_ptr_tokens=p_max * ratio, key_bias=key_bias)
-            conditioned = conditioned.reshape(b, s16, s16, self.fpn_planes)
-
-            # --- predict (no prompts on tracked frames) ---
-            masks, ious, obj_logits, pointer, best_mask = \
-                self._decode_frame(conditioned, None)
+        # static python loop over frames (T is a static 1/8/16 in the
+        # staged recipes); numerics identical to the scan path
+        all_masks, all_ious, all_obj = [masks0], [ious0], [obj0]
+        for t in range(1, t_frames):
+            (masks, ious, obj), carry = self.track_frame(
+                feat16[:, t], pos16[:, t], carry,
+                frame_prompts=self._slice_prompts(frame0_prompts, t)
+                if per_frame else None,
+                is_cond=cond[t],
+                gt_mask=gt_masks[:, t] if refine else None,
+                iter_flag=iters[t],
+                rng=frame_rngs[t],
+                point_iters=point_iters if refine else 0)
             all_masks.append(masks)
             all_ious.append(ious)
-            all_obj.append(obj_logits)
-
-            # --- encode new memory into the recent-frame ring slot ---
-            new_mem, new_mem_pos = self.memory_encoder(
-                feat, jax.image.resize(
-                    best_mask[..., None],
-                    (b, self.image_size, self.image_size, 1), "bilinear"))
-            slot = 1 + (frame_idx - 1) % (s_mem - 1)
-            mem_feats = mem_feats.at[slot].set(
-                new_mem.reshape(b, n_mem, self.memory_planes))
-            mem_pos = mem_pos.at[slot].set(
-                new_mem_pos.reshape(b, n_mem, self.memory_planes))
-            mem_frame = mem_frame.at[slot].set(frame_idx)
-            mem_valid = mem_valid.at[slot].set(1.0)
-
-            pslot = frame_idx % p_max
-            ptr_bank = ptr_bank.at[pslot].set(pointer)
-            ptr_frame = ptr_frame.at[pslot].set(frame_idx)
-            ptr_valid = ptr_valid.at[pslot].set(1.0)
+            all_obj.append(obj)
 
         return (jnp.stack(all_masks, axis=1), jnp.stack(all_ious, axis=1),
                 jnp.stack(all_obj, axis=1))

@@ -43,3 +43,110 @@ def test_sam2_video_forward_and_loss():
     mem_g = sum(float(jnp.abs(l).sum()) for l in jax.tree.leaves(
         g["params"]["memory_attention"]))
     assert np.isfinite(mem_g) and mem_g > 0
+
+
+def _tiny_sam2(**kw):
+    from simpleaicv_pytorch_training_examples_tpu.video_interactive_segmentation.models.segment_anything2.sam2 import (
+        SAM2Video)
+    return SAM2Video(image_size=128, embedding_planes=32, head_nums=1,
+                     block_nums=(1, 1, 2, 1),
+                     window_specification=(4, 2, 4, 2),
+                     global_attention_blocks=(3,),
+                     fpn_planes=32, memory_planes=16,
+                     memory_mask_nums=3, max_object_pointers=4, **kw)
+
+
+def _per_frame_prompts(b, t, p=2):
+    import jax.numpy as jnp
+    rq = 128 // 4
+    return {
+        "prompt_point": jnp.full((b, t, p, 3), -1.0),
+        "prompt_box": jnp.zeros((b, t, 4)),
+        "prompt_box_valid": jnp.zeros((b, t)),
+        "prompt_mask": jnp.zeros((b, t, rq, rq, 1)),
+        "prompt_mask_valid": jnp.zeros((b, t)),
+    }
+
+
+def test_sam2_condition_frame_changes_downstream_masks():
+    """A prompted mid-sequence condition frame must measurably change the
+    downstream tracked masks (reference prepare_batch_prompt_inputs
+    condition-frame semantics, sam2video_train.py:208-357)."""
+    import jax
+    import jax.numpy as jnp
+
+    model = _tiny_sam2(memory_cond_slots=2)
+    b, t = 1, 4
+    rs = np.random.RandomState(0)
+    images = jnp.asarray(rs.rand(b, t, 128, 128, 3), jnp.float32)
+
+    prompts = _per_frame_prompts(b, t)
+    # frame 0 prompt: positive click
+    prompts["prompt_point"] = prompts["prompt_point"].at[:, 0, 0].set(
+        jnp.asarray([40.0, 40.0, 1.0]))
+    cond0 = jnp.asarray([1.0, 0.0, 0.0, 0.0])
+
+    variables = model.init(jax.random.PRNGKey(0), images, prompts,
+                           is_cond_frame=cond0)
+    masks_a, _, _ = model.apply(variables, images, prompts,
+                                is_cond_frame=cond0)
+
+    # same, plus a condition frame at t=2 with a very different click
+    prompts_b = dict(prompts)
+    prompts_b["prompt_point"] = prompts["prompt_point"].at[:, 2, 0].set(
+        jnp.asarray([100.0, 100.0, 1.0]))
+    cond2 = jnp.asarray([1.0, 0.0, 1.0, 0.0])
+    masks_b, _, _ = model.apply(variables, images, prompts_b,
+                                is_cond_frame=cond2)
+
+    # frames before the new condition frame are identical...
+    np.testing.assert_allclose(np.asarray(masks_a[:, 1]),
+                               np.asarray(masks_b[:, 1]), rtol=1e-5,
+                               atol=1e-5)
+    # ...the prompted frame and frames after it must differ
+    assert float(jnp.abs(masks_a[:, 2] - masks_b[:, 2]).max()) > 1e-4
+    assert float(jnp.abs(masks_a[:, 3] - masks_b[:, 3]).max()) > 1e-4
+
+
+def test_sam2_point_iter_refinement_and_scan_parity():
+    """Point-iteration frames refine with in-graph error clicks; the
+    nn.scan path and the python-loop path must produce identical numerics
+    with the full condition-frame recipe."""
+    import jax
+    import jax.numpy as jnp
+
+    b, t = 1, 4
+    rs = np.random.RandomState(1)
+    images = jnp.asarray(rs.rand(b, t, 128, 128, 3), jnp.float32)
+    gt = jnp.zeros((b, t, 128, 128)).at[:, :, 30:70, 30:70].set(1.0)
+
+    prompts = _per_frame_prompts(b, t)
+    prompts["prompt_point"] = prompts["prompt_point"].at[:, 0, 0].set(
+        jnp.asarray([40.0, 40.0, 1.0]))
+    cond = jnp.asarray([1.0, 0.0, 0.0, 0.0])
+    iters = jnp.asarray([0.0, 0.0, 1.0, 0.0])
+    rng = jax.random.PRNGKey(7)
+
+    loop = _tiny_sam2(use_scan=False)
+    scan = _tiny_sam2(use_scan=True)
+    variables = loop.init(jax.random.PRNGKey(0), images, prompts,
+                          is_cond_frame=cond)
+
+    kw = dict(gt_masks=gt, is_cond_frame=cond, is_iter_frame=iters,
+              rng=rng, point_iters=2)
+    m_loop, i_loop, o_loop = loop.apply(variables, images, prompts, **kw)
+    m_scan, i_scan, o_scan = scan.apply(variables, images, prompts, **kw)
+    np.testing.assert_allclose(np.asarray(m_loop), np.asarray(m_scan),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(i_loop), np.asarray(i_scan),
+                               rtol=2e-4, atol=2e-4)
+
+    # refinement actually changes the flagged frame vs point_iters=0
+    m_plain, _, _ = loop.apply(variables, images, prompts,
+                               gt_masks=gt, is_cond_frame=cond,
+                               is_iter_frame=iters, rng=rng, point_iters=0)
+    assert float(jnp.abs(m_loop[:, 2] - m_plain[:, 2]).max()) > 1e-4
+    # non-flagged tracked frame 1 is untouched by refinement
+    np.testing.assert_allclose(np.asarray(m_loop[:, 1]),
+                               np.asarray(m_plain[:, 1]), rtol=1e-5,
+                               atol=1e-5)

@@ -41,27 +41,8 @@ def build_loss_fn(model, config):
     image_size = model.image_size
     quarter = image_size // 4
 
-    def sample_error_point(rng, pred_mask, gt_mask):
-        """Gumbel-max uniform draw from the FP/FN region.
-
-        pred_mask/gt_mask [H, W] {0,1}. Returns [3] (x, y, label):
-        label 1 if the point is a false negative (missing fg), else 0;
-        (-1,-1,-1) when there is no error."""
-        fn = (gt_mask > 0.5) & (pred_mask <= 0.5)
-        fp = (gt_mask <= 0.5) & (pred_mask > 0.5)
-        error = fn | fp
-        flat = error.reshape(-1)
-        gumbel = jax.random.gumbel(rng, flat.shape)
-        scores = jnp.where(flat, gumbel, -jnp.inf)
-        idx = jnp.argmax(scores)
-        h, w = pred_mask.shape
-        y = (idx // w).astype(jnp.float32)
-        x = (idx % w).astype(jnp.float32)
-        label = fn.reshape(-1)[idx].astype(jnp.float32)
-        has_error = flat.any()
-        return jnp.where(has_error,
-                         jnp.stack([x, y, label]),
-                         jnp.asarray([-1.0, -1.0, -1.0]))
+    from simpleaicv_pytorch_training_examples_tpu.interactive_segmentation.error_click import (
+        sample_error_point)
 
     def loss_fn(params, variables, batch, rng):
         images = batch["image"].astype(compute_dtype)

@@ -31,21 +31,43 @@ def build_loss_fn(model, config):
     criterion = config.train_criterion
     compute_dtype = jnp.bfloat16 if getattr(config, "use_amp", True) \
         else jnp.float32
+    # point-iteration decode count on flagged frames (reference
+    # sam2video_train.py:840-911); 0 disables refinement
+    point_iters = getattr(config, "decoder_point_iters", 0)
 
     def loss_fn(params, variables, batch, rng):
         images = batch["image"].astype(compute_dtype)  # [B,T,H,W,3]
-        prompts = {
-            "prompt_point": batch["prompt_point"].astype(jnp.float32),
-            "prompt_box": None,
-            "prompt_mask": None,
-        }
+        per_frame = batch["prompt_point"].ndim == 4  # [B,T,P,3]
+        if per_frame:
+            # condition-frame recipe (SAM2VideoBatchCollater): per-frame
+            # prompts + cond/iter flag vectors + in-graph error clicks
+            prompts = {
+                k: batch[k].astype(jnp.float32)
+                for k in ("prompt_point", "prompt_box", "prompt_box_valid",
+                          "prompt_mask", "prompt_mask_valid")
+            }
+            kwargs = dict(
+                gt_masks=batch["mask"].astype(jnp.float32),
+                is_cond_frame=batch["is_cond_frame"].max(axis=0),
+                is_iter_frame=batch["is_iter_frame"].max(axis=0),
+                rng=jax.random.fold_in(rng, 3),
+                point_iters=point_iters)
+        else:
+            prompts = {
+                "prompt_point": batch["prompt_point"].astype(jnp.float32),
+                "prompt_box": None,
+                "prompt_mask": None,
+            }
+            kwargs = {}
         mutable = list(variables.keys())
         if mutable:
             preds, new_vars = model.apply({"params": params, **variables},
-                                          images, prompts, mutable=mutable)
+                                          images, prompts, mutable=mutable,
+                                          **kwargs)
             new_vars = dict(new_vars)
         else:
-            preds = model.apply({"params": params}, images, prompts)
+            preds = model.apply({"params": params}, images, prompts,
+                                **kwargs)
             new_vars = variables
         loss_dict = criterion(preds, batch["mask"])
         total = sum(loss_dict.values())
