@@ -36,6 +36,10 @@ class config:
     model = sam2_hiera_base_plus_video(image_size=input_image_size,
                                        use_gradient_checkpoint=True,
                                        use_scan=True,
+                                       # fused pallas memory attention:
+                                       # 1.7-1.8x over XLA on v5e (TPU
+                                       # only; auto-fallback elsewhere)
+                                       use_flash_attention=True,
                                        memory_cond_slots=2)
 
     # resume from the previous stage checkpoint

@@ -15,6 +15,13 @@ the forward saves only the per-row logsumexp; dk/dv and dq are computed
 by streaming the same blocks again. The per-key bias gets a zero gradient
 (it encodes ring-buffer slot validity — constants).
 
+Measured on v5e, bf16:
+- SAM encoder shape (B8 H12 N4096 D64): fwd 10.7 ms vs XLA 8.7 (XLA keeps
+  the inference path), fwd+bwd 30.2 ms vs XLA 67.3 — 2.2x for training;
+- SAM2 memory shape (B4 H1 4096 q x 28736 kv + key bias): fwd 8.0 ms vs
+  XLA 14.3 (1.8x), fwd+bwd 17.4 ms vs XLA 29.8 (1.7x) at blocks
+  2048/2048.
+
 API: flash_attention(q, k, v, bias=None) with q/k/v [B, H, N, D] and bias
 [B, N_k] (per-key additive, broadcast over heads/queries). Key length is
 padded to the block size internally (padding keys get -1e9 bias).

@@ -1,0 +1,66 @@
+"""Int8 serving path (ops/int8.py): quantization table construction and
+the interceptor-driven int8 Dense forward must closely track the fp
+forward (on-chip throughput numbers live in the module docstring)."""
+
+import numpy as np
+
+
+def test_int8_dense_matches_fp():
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+    from simpleaicv_pytorch_training_examples_tpu.ops.int8 import (
+        int8_apply, quantize_dense_kernels)
+
+    class MLP(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = nn.Dense(256, name="fc1")(x)
+            x = nn.relu(x)
+            x = nn.Dense(128, name="fc2")(x)
+            return nn.Dense(8, name="head")(x)  # excluded (tiny)
+
+    model = MLP()
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(16, 128), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+
+    qtable = quantize_dense_kernels(variables["params"])
+    # head has 8 outputs < min_features -> stays fp
+    assert ("fc1",) in qtable and ("fc2",) in qtable
+    assert ("head",) not in qtable
+    wq, ws = qtable[("fc1",)]
+    assert wq.dtype == jnp.int8 and ws.shape == (256,)
+
+    fp = model.apply(variables, x)
+    q8 = int8_apply(model, variables, qtable, x)
+    rel = float(jnp.abs(fp - q8).max() / (jnp.abs(fp).max() + 1e-9))
+    assert rel < 0.05, rel
+    corr = np.corrcoef(np.asarray(fp).ravel(), np.asarray(q8).ravel())[0, 1]
+    assert corr > 0.999, corr
+
+
+def test_int8_vit_logits_track_fp():
+    import jax
+    import jax.numpy as jnp
+    from simpleaicv_pytorch_training_examples_tpu.classification import (
+        backbones)
+    from simpleaicv_pytorch_training_examples_tpu.engine import init_model
+    from simpleaicv_pytorch_training_examples_tpu.ops.int8 import (
+        int8_apply, quantize_dense_kernels)
+
+    from simpleaicv_pytorch_training_examples_tpu.models.backbones.vit import (
+        ViT)
+    model = ViT(16, 64, 2, 2, 4, image_size=64, num_classes=10)
+    params, variables = init_model(model, (1, 64, 64, 3),
+                                   jax.random.PRNGKey(0))
+    qtable = quantize_dense_kernels(params, min_features=32)
+    assert len(qtable) > 0
+
+    rs = np.random.RandomState(0)
+    images = jnp.asarray(rs.rand(4, 64, 64, 3), jnp.float32)
+    fp = model.apply({"params": params, **variables}, images, train=False)
+    q8 = int8_apply(model, {"params": params, **variables}, qtable,
+                    images, train=False)
+    corr = np.corrcoef(np.asarray(fp).ravel(), np.asarray(q8).ravel())[0, 1]
+    assert corr > 0.99, corr
