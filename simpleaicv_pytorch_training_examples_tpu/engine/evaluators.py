@@ -267,26 +267,16 @@ def salient_object_detection_evaluator(model, config, ctx):
         return tp, fp, fn, inter / union
 
     def evaluate(state):
-        tp = np.zeros(256)
-        fp = np.zeros(256)
-        fn = np.zeros(256)
-        ious = []
+        from ..utils.meters import SalientObjectDetectionMeter
+        meter = SalientObjectDetectionMeter()
         for batch in ctx.test_loader:
             padded, n_real = pad_batch_to_multiple(batch, ctx.n_devices)
             sharded = shard_batch(padded, ctx.mesh)
             t, f, n, iou = eval_step(state, sharded)
-            tp += np.asarray(t)
-            fp += np.asarray(f)
-            fn += np.asarray(n)
-            ious.extend(np.asarray(iou)[:n_real].tolist())
-        precision = tp / np.clip(tp + fp, 1, None)
-        recall = tp / np.clip(tp + fn, 1, None)
-        beta2 = 0.3
-        f_beta = (1 + beta2) * precision * recall / np.clip(
-            beta2 * precision + recall, 1e-8, None)
-        miou = float(np.mean(ious))
-        return miou, (f"IoU {miou:.4f} maxF {float(f_beta.max()):.4f} "
-                      f"precision {float(precision.mean()):.4f} "
-                      f"recall {float(recall.mean()):.4f}")
+            meter.add_sums(t, f, n, np.asarray(iou)[:n_real].tolist())
+        s = meter.summary()
+        return s["miou"], (f"IoU {s['miou']:.4f} maxF {s['max_f_beta']:.4f} "
+                           f"precision {s['precision']:.4f} "
+                           f"recall {s['recall']:.4f}")
 
     return evaluate

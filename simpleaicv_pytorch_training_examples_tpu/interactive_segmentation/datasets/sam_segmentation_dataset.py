@@ -167,10 +167,22 @@ class SamSegmentationDataset:
                 if os.path.exists(json_path):
                     with open(json_path) as f:
                         anns = json.load(f).get("annotations", [])
-                    for k in range(
-                            min(len(anns), per_image_mask_chosse_max_num)):
+                    kept = 0
+                    for k, ann in enumerate(anns):
+                        if kept >= per_image_mask_chosse_max_num:
+                            break
+                        # tiny-mask filter on the SA-1B area field
+                        # (reference area_filter_ratio screening)
+                        seg = ann.get("segmentation", {})
+                        area = ann.get("area")
+                        if area is not None and isinstance(seg, dict) \
+                                and "size" in seg:
+                            h0, w0 = seg["size"]
+                            if area / float(h0 * w0) < area_filter_ratio:
+                                continue
                         entries.append((image_path, "json",
                                         (json_path, k)))
+                        kept += 1
                     continue
                 masks = sorted(
                     n for n in os.listdir(set_dir)

@@ -67,3 +67,57 @@ class SemanticSoftmaxMeter:
     @property
     def semantic_acc(self):
         return self.weighted_correct / max(self.weighted_total, 1e-8) * 100.0
+
+
+class SalientObjectDetectionMeter:
+    """256-threshold tp/fp/fn accumulator -> precision/recall/F-beta^2 +
+    mean IoU at 0.5 (reference tools/salient_object_detection_scripts.py:
+    24-90 EvalMeter; used by engine/evaluators.py
+    salient_object_detection_evaluator and unit-tested directly)."""
+
+    def __init__(self, thresholds=256, beta2=0.3):
+        import numpy as np
+        self.n_thresh = thresholds
+        self.beta2 = beta2
+        self.tp = np.zeros(thresholds)
+        self.fp = np.zeros(thresholds)
+        self.fn = np.zeros(thresholds)
+        self.ious = []
+
+    def update(self, preds, gts):
+        """preds/gts [B, H, W] float (pred in [0,1], gt {0,1})."""
+        import numpy as np
+        thr = np.linspace(0.0, 1.0 - 1e-4, self.n_thresh)
+        p = preds.reshape(preds.shape[0], -1).astype(np.float32)
+        g = (gts.reshape(gts.shape[0], -1) > 0.5).astype(np.float32)
+        bin_p = (p[None] > thr[:, None, None]).astype(np.float32)
+        self.tp += (bin_p * g[None]).sum(axis=(1, 2))
+        self.fp += (bin_p * (1 - g[None])).sum(axis=(1, 2))
+        self.fn += ((1 - bin_p) * g[None]).sum(axis=(1, 2))
+        b05 = (p > 0.5).astype(np.float32)
+        inter = (b05 * g).sum(axis=1)
+        union = np.clip(b05.sum(axis=1) + g.sum(axis=1) - inter, 1e-4,
+                        None)
+        self.ious.extend((inter / union).tolist())
+
+    def add_sums(self, tp, fp, fn, ious):
+        """Accumulate device-computed per-threshold sums (the evaluator's
+        jitted path)."""
+        import numpy as np
+        self.tp += np.asarray(tp)
+        self.fp += np.asarray(fp)
+        self.fn += np.asarray(fn)
+        self.ious.extend(ious)
+
+    def summary(self):
+        import numpy as np
+        precision = self.tp / np.clip(self.tp + self.fp, 1, None)
+        recall = self.tp / np.clip(self.tp + self.fn, 1, None)
+        f_beta = (1 + self.beta2) * precision * recall / np.clip(
+            self.beta2 * precision + recall, 1e-8, None)
+        return {
+            "miou": float(np.mean(self.ious)) if self.ious else 0.0,
+            "max_f_beta": float(f_beta.max()),
+            "precision": float(precision.mean()),
+            "recall": float(recall.mean()),
+        }
