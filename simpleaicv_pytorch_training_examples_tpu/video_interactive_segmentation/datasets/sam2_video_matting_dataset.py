@@ -19,7 +19,7 @@ from ...interactive_segmentation.datasets.sam_segmentation_dataset import (
     load_points)
 
 __all__ = ["SAM2VideoMattingDataset", "SAM2VideoMattingCollater",
-           "SAM2ImageMattingCollater"]
+           "SAM2VideoMattingBatchCollater", "SAM2ImageMattingCollater"]
 
 
 def _make_trimap(alpha, kernel_size=15):
@@ -238,3 +238,70 @@ class SAM2ImageMattingCollater(SAM2VideoMattingCollater):
         return {"image": out["image"][:, 0], "alpha": out["alpha"][:, 0],
                 "trimap": out["trimap"][:, 0],
                 "prompt_point": out["prompt_point"]}
+
+
+class SAM2VideoMattingBatchCollater(SAM2VideoMattingCollater):
+    """Condition-frame matting recipe: per-frame prompts synthesized from
+    each condition frame's binarized alpha (point / noisy box / noisy
+    mask), emitted as fixed-shape [B,T,...] arrays + [B,T] cond flags —
+    the matting twin of SAM2VideoBatchCollater."""
+
+    def __init__(self, resize=1024, frame_nums=8, n_points=2,
+                 prompt_probs=(0.5, 0.25, 0.25), extra_cond_frames=1):
+        super().__init__(resize=resize, frame_nums=frame_nums,
+                         n_points=n_points)
+        self.prompt_probs = prompt_probs
+        self.extra_cond_frames = extra_cond_frames
+
+    def __call__(self, samples):
+        import cv2
+        from ...interactive_segmentation.datasets.sam_segmentation_dataset import (
+            mask_to_box, noise_box, noise_mask)
+        base = super().__call__(samples)
+        n, t = base["alpha"].shape[:2]
+        r = self.resize
+        rq = r // 4
+        p = self.n_points
+
+        is_cond = np.zeros((t,), np.float32)
+        is_cond[0] = 1.0
+        if t > 1 and self.extra_cond_frames > 0:
+            extra = np.random.randint(0, self.extra_cond_frames + 1)
+            if extra:
+                sel = np.random.choice(np.arange(1, t),
+                                       min(extra, t - 1), replace=False)
+                is_cond[sel] = 1.0
+
+        points = np.full((n, t, p, 3), -1.0, np.float32)
+        boxes = np.zeros((n, t, 4), np.float32)
+        boxes_valid = np.zeros((n, t), np.float32)
+        prompt_masks = np.zeros((n, t, rq, rq, 1), np.float32)
+        masks_valid = np.zeros((n, t), np.float32)
+        ptype = np.random.choice(3, p=self.prompt_probs)
+        for i in range(n):
+            for f in np.where(is_cond > 0)[0]:
+                binary = (base["alpha"][i, f] > 0.5).astype(np.float32)
+                if ptype == 0:
+                    k = np.random.randint(1, p + 1)
+                    pts = load_points(binary, k)
+                    points[i, f, :k] = pts[:k]
+                elif ptype == 1:
+                    box, ok = mask_to_box(binary)
+                    if ok:
+                        boxes[i, f] = noise_box(box, (r, r))
+                        boxes_valid[i, f] = 1.0
+                else:
+                    small = cv2.resize(noise_mask(binary), (rq, rq))
+                    prompt_masks[i, f, :, :, 0] = (small > 0.5).astype(
+                        np.float32)
+                    masks_valid[i, f] = 1.0
+        base.pop("prompt_point", None)
+        base.update({
+            "prompt_point": points,
+            "prompt_box": boxes,
+            "prompt_box_valid": boxes_valid,
+            "prompt_mask": prompt_masks,
+            "prompt_mask_valid": masks_valid,
+            "is_cond_frame": np.tile(is_cond, (n, 1)),
+        })
+        return base

@@ -112,6 +112,8 @@ class _SAM2MattingBase(nn.Module):
     fpn_planes: int = 256
     memory_planes: int = 64
     memory_mask_nums: int = 7
+    # slots reserved for condition-frame memories (see SAM2Video)
+    memory_cond_slots: int = 1
     max_object_pointers: int = 16
     use_gradient_checkpoint: bool = False
     # "hiera" or a DINOv3 backbone registry name (reference
@@ -231,7 +233,18 @@ class SAM2VideoMatting(_SAM2MattingBase):
         return is_obj * pointer + \
             (1.0 - is_obj) * self.no_object_pointer[0]
 
-    def __call__(self, images, frame0_prompts):
+    @staticmethod
+    def _slice_prompts(prompts, t):
+        if prompts is None:
+            return None
+        return {k: (v[:, t] if v is not None else None)
+                for k, v in prompts.items()}
+
+    def __call__(self, images, frame0_prompts, is_cond_frame=None):
+        """images [B,T,H,W,3]; frame0_prompts either frame-0-only (no T
+        axis) or per-frame [B,T,...] with validity flags (the reference
+        condition-frame recipe, as in SAM2Video.__call__); is_cond_frame
+        [T] steers the reserved memory slots for extra prompted frames."""
         b, t_frames = images.shape[0], images.shape[1]
         s16 = self.image_size // 16
         n_mem = s16 * s16
@@ -243,9 +256,22 @@ class SAM2VideoMatting(_SAM2MattingBase):
         pos16 = positions[-1].reshape(b, t_frames, s16, s16,
                                       self.fpn_planes)
 
+        pp = frame0_prompts.get("prompt_point") \
+            if frame0_prompts is not None else None
+        per_frame = pp is not None and pp.ndim == 4
+        p0 = self._slice_prompts(frame0_prompts, 0) if per_frame \
+            else frame0_prompts
+        cond = is_cond_frame if is_cond_frame is not None else \
+            jnp.zeros((t_frames,))
+        cond_slots = max(1, min(self.memory_cond_slots,
+                                self.memory_mask_nums - 1))
+        ring = self.memory_mask_nums - cond_slots
+        cond_count = jnp.ones((), jnp.int32)  # frame 0 takes cond slot 0
+        track_count = jnp.zeros((), jnp.int32)
+
         # ---- frame 0: prompted, no memory conditioning ----
         g0, l0, f0, ious0, obj0, tok0, _ = self._decode_matting(
-            feat16[:, 0], frame0_prompts)
+            feat16[:, 0], p0)
         ptr0 = self._pointer(tok0, obj0)
         mem_feat0, mem_pos0 = self.memory_encoder(feat16[:, 0], f0)
 
@@ -316,7 +342,9 @@ class SAM2VideoMatting(_SAM2MattingBase):
             conditioned = conditioned.reshape(b, s16, s16, self.fpn_planes)
 
             g, l, f, ious, obj_logits, token, _ = self._decode_matting(
-                conditioned, None)
+                conditioned,
+                self._slice_prompts(frame0_prompts, frame_idx)
+                if per_frame else None)
             all_g.append(g)
             all_l.append(l)
             all_f.append(f)
@@ -324,7 +352,13 @@ class SAM2VideoMatting(_SAM2MattingBase):
             all_obj.append(obj_logits)
 
             new_mem, new_mem_pos = self.memory_encoder(feat, f)
-            slot = 1 + (frame_idx - 1) % (s_mem - 1)
+            is_cond_t = cond[frame_idx] > 0
+            slot = jnp.where(
+                is_cond_t,
+                jnp.minimum(cond_count, cond_slots - 1),
+                cond_slots + track_count % ring).astype(jnp.int32)
+            cond_count = cond_count + is_cond_t.astype(jnp.int32)
+            track_count = track_count + (~is_cond_t).astype(jnp.int32)
             mem_feats = mem_feats.at[slot].set(
                 new_mem.reshape(b, n_mem, self.memory_planes))
             mem_pos = mem_pos.at[slot].set(

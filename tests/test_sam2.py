@@ -150,3 +150,60 @@ def test_sam2_point_iter_refinement_and_scan_parity():
     np.testing.assert_allclose(np.asarray(m_loop[:, 1]),
                                np.asarray(m_plain[:, 1]), rtol=1e-5,
                                atol=1e-5)
+
+
+def test_video_train_tool_loss_fn_condition_recipe():
+    """tools/train_video_interactive_segmentation_model.build_loss_fn must
+    route a SAM2VideoBatchCollater batch (per-frame prompts + flags)
+    through the condition-frame model path and produce finite grads."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import jax
+    import jax.numpy as jnp
+    from tools.train_video_interactive_segmentation_model import (
+        build_loss_fn)
+    from simpleaicv_pytorch_training_examples_tpu.video_interactive_segmentation import (
+        losses)
+
+    model = _tiny_sam2(use_scan=True, memory_cond_slots=2)
+
+    class cfg:
+        train_criterion = losses.SAM2Loss()
+        use_amp = False
+        decoder_point_iters = 1
+
+    loss_fn = build_loss_fn(model, cfg)
+
+    b, t, p = 1, 3, 2
+    rs = np.random.RandomState(0)
+    rq = 128 // 4
+    batch = {
+        "image": jnp.asarray(rs.rand(b, t, 128, 128, 3), jnp.float32),
+        "mask": jnp.zeros((b, t, 128, 128)).at[:, :, 30:70, 30:70].set(1.0),
+        "prompt_point": jnp.full((b, t, p, 3), -1.0).at[:, 0, 0].set(
+            jnp.asarray([40.0, 40.0, 1.0])),
+        "prompt_box": jnp.zeros((b, t, 4)),
+        "prompt_box_valid": jnp.zeros((b, t)),
+        "prompt_mask": jnp.zeros((b, t, rq, rq, 1)),
+        "prompt_mask_valid": jnp.zeros((b, t)),
+        "is_cond_frame": jnp.asarray([[1.0, 0.0, 0.0]]),
+        "is_iter_frame": jnp.asarray([[0.0, 1.0, 0.0]]),
+    }
+    variables = dict(model.init(jax.random.PRNGKey(0), batch["image"],
+                                {"prompt_point": batch["prompt_point"],
+                                 "prompt_box": batch["prompt_box"],
+                                 "prompt_box_valid":
+                                     batch["prompt_box_valid"],
+                                 "prompt_mask": batch["prompt_mask"],
+                                 "prompt_mask_valid":
+                                     batch["prompt_mask_valid"]},
+                                is_cond_frame=batch["is_cond_frame"][0]))
+    params = variables.pop("params")
+
+    (loss, (_, loss_dict)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(params, variables, batch,
+                               jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    gsum = sum(float(jnp.abs(g).sum()) for g in jax.tree.leaves(grads))
+    assert np.isfinite(gsum) and gsum > 0

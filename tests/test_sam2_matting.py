@@ -84,3 +84,44 @@ def test_sam2_video_matting_collater():
     pts = out["prompt_point"][0]
     valid = pts[pts[:, 2] >= 0]
     assert len(valid) >= 1
+
+
+def test_sam2_video_matting_condition_frame():
+    """Per-frame prompts + is_cond_frame: a prompted mid-sequence
+    condition frame changes its own and downstream matting outputs but
+    not earlier frames (matting twin of the SAM2Video recipe)."""
+    import jax
+    import jax.numpy as jnp
+    from simpleaicv_pytorch_training_examples_tpu.video_interactive_segmentation.models.segment_anything2_matting import (
+        SAM2VideoMatting)
+
+    model = SAM2VideoMatting(memory_cond_slots=2, **_TINY)
+    b, t = 1, 3
+    rs = np.random.RandomState(0)
+    images = jnp.asarray(rs.rand(b, t, 128, 128, 3), jnp.float32)
+    rq = 128 // 4
+    prompts = {
+        "prompt_point": jnp.full((b, t, 2, 3), -1.0),
+        "prompt_box": jnp.zeros((b, t, 4)),
+        "prompt_box_valid": jnp.zeros((b, t)),
+        "prompt_mask": jnp.zeros((b, t, rq, rq, 1)),
+        "prompt_mask_valid": jnp.zeros((b, t)),
+    }
+    prompts["prompt_point"] = prompts["prompt_point"].at[:, 0, 0].set(
+        jnp.asarray([40.0, 40.0, 1.0]))
+    cond0 = jnp.asarray([1.0, 0.0, 0.0])
+
+    variables = model.init(jax.random.PRNGKey(0), images, prompts,
+                           is_cond_frame=cond0)
+    f_a = model.apply(variables, images, prompts, is_cond_frame=cond0)[2]
+
+    prompts_b = dict(prompts)
+    prompts_b["prompt_point"] = prompts["prompt_point"].at[:, 1, 0].set(
+        jnp.asarray([100.0, 100.0, 1.0]))
+    cond1 = jnp.asarray([1.0, 1.0, 0.0])
+    f_b = model.apply(variables, images, prompts_b, is_cond_frame=cond1)[2]
+
+    np.testing.assert_allclose(np.asarray(f_a[:, 0]),
+                               np.asarray(f_b[:, 0]), rtol=1e-5, atol=1e-5)
+    assert float(jnp.abs(f_a[:, 1] - f_b[:, 1]).max()) > 1e-5
+    assert float(jnp.abs(f_a[:, 2] - f_b[:, 2]).max()) > 1e-5

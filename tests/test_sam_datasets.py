@@ -233,3 +233,37 @@ def test_sam2_video_matting_background_composites(sam2_fixture, tmp_path):
         background_root_dir=str(broot),
         use_background_video_prob={"VideoMatte": 0.0})
     assert ds0[0]["images"][0][0, 0].mean() > 150
+
+
+def test_sam2_matting_batch_collater_flags(tmp_path):
+    import cv2
+    from simpleaicv_pytorch_training_examples_tpu.video_interactive_segmentation.datasets.sam2_video_matting_dataset import (
+        SAM2VideoMattingBatchCollater, SAM2VideoMattingDataset)
+
+    root = tmp_path / "m"
+    vdir = root / "vm" / "train" / "c0"
+    vdir.mkdir(parents=True)
+    for f in range(4):
+        cv2.imwrite(str(vdir / f"{f:05d}.jpg"),
+                    np.full((32, 32, 3), 150, np.uint8))
+        a = np.zeros((32, 32), np.uint8)
+        a[8:24, 8:24] = 255
+        cv2.imwrite(str(vdir / f"{f:05d}_alpha.png"), a)
+
+    ds = SAM2VideoMattingDataset(str(root), set_name_list=["vm"],
+                                 frame_nums=4)
+    np.random.seed(1)
+    coll = SAM2VideoMattingBatchCollater(resize=64, frame_nums=4,
+                                         n_points=2,
+                                         prompt_probs=(1.0, 0.0, 0.0),
+                                         extra_cond_frames=1)
+    batch = coll([ds[0]])
+    assert batch["image"].shape == (1, 4, 64, 64, 3)
+    assert batch["alpha"].shape == (1, 4, 64, 64)
+    assert batch["trimap"].shape == (1, 4, 64, 64)
+    assert batch["prompt_point"].shape == (1, 4, 2, 3)
+    cond = batch["is_cond_frame"].max(axis=0)
+    assert cond[0] == 1.0
+    has_pts = (batch["prompt_point"][..., 2] >= 0).any(axis=2)[0]
+    for f in range(4):
+        assert bool(has_pts[f]) == bool(cond[f] > 0)

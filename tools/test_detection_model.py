@@ -28,7 +28,7 @@ def main():
     from simpleaicv_pytorch_training_examples_tpu.engine import (
         TrainState, apply_pretrained, init_model)
     from simpleaicv_pytorch_training_examples_tpu.engine.evaluators import (
-        detection_coco_evaluator)
+        detection_coco_evaluator, detection_voc_evaluator)
     from simpleaicv_pytorch_training_examples_tpu.engine.runner import (
         RunContext)
     from simpleaicv_pytorch_training_examples_tpu.parallel import (
@@ -57,7 +57,10 @@ def main():
                              process_index=jax.process_index(),
                              process_count=jax.process_count())
     ctx = RunContext(mesh, None, test_loader, logger, mesh.devices.size)
-    evaluate = detection_coco_evaluator(config.model, config, ctx)
+    evaluator = detection_voc_evaluator \
+        if getattr(config, "eval_type", "COCO") == "VOC" \
+        else detection_coco_evaluator
+    evaluate = evaluator(config.model, config, ctx)
     metric, metric_log = evaluate(state)
     logger.info(metric_log)
     return metric

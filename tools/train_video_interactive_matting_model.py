@@ -31,18 +31,31 @@ def build_loss_fn(model, config):
 
     def loss_fn(params, variables, batch, rng):
         images = batch["image"].astype(compute_dtype)  # [B,T,H,W,3]
-        prompts = {
-            "prompt_point": batch["prompt_point"].astype(jnp.float32),
-            "prompt_box": None,
-            "prompt_mask": None,
-        }
+        per_frame = batch["prompt_point"].ndim == 4  # [B,T,P,3]
+        if per_frame:
+            # condition-frame matting recipe (SAM2VideoMattingBatchCollater)
+            prompts = {
+                k: batch[k].astype(jnp.float32)
+                for k in ("prompt_point", "prompt_box", "prompt_box_valid",
+                          "prompt_mask", "prompt_mask_valid")
+            }
+            kwargs = {"is_cond_frame": batch["is_cond_frame"].max(axis=0)}
+        else:
+            prompts = {
+                "prompt_point": batch["prompt_point"].astype(jnp.float32),
+                "prompt_box": None,
+                "prompt_mask": None,
+            }
+            kwargs = {}
         mutable = list(variables.keys())
         if mutable:
             out, new_vars = model.apply({"params": params, **variables},
-                                        images, prompts, mutable=mutable)
+                                        images, prompts, mutable=mutable,
+                                        **kwargs)
             new_vars = dict(new_vars)
         else:
-            out = model.apply({"params": params}, images, prompts)
+            out = model.apply({"params": params}, images, prompts,
+                              **kwargs)
             new_vars = variables
         g, l, f = out[0], out[1], out[2]
         loss_dict = criterion((g, l, f), batch["alpha"], batch["trimap"])
