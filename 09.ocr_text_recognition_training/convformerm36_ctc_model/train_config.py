@@ -56,9 +56,20 @@ class config:
 
     train_dataset = TextRecognition(
         text_recognition_dataset_path,
+        # the reference's full per-language source list (aihub/chinese +
+        # synthetic subsets + meta-self-learning domains)
         set_name_list=["aistudio_baidu_street",
-                       "chinese_dataset", "synthetic_chinese_string_dataset",
-                       "meta_self_learning_car"],
+                       "chinese_dataset",
+                       "synthetic_chinese_string_dataset_trainsubset0",
+                       "synthetic_chinese_string_dataset_trainsubset1",
+                       "synthetic_chinese_string_dataset_trainsubset2",
+                       "synthetic_chinese_string_dataset_trainsubset3",
+                       "meta_self_learning_car",
+                       "meta_self_learning_document_trainsubset0",
+                       "meta_self_learning_document_trainsubset1",
+                       "meta_self_learning_hand",
+                       "meta_self_learning_street",
+                       "meta_self_learning_syn"],
         set_type="train",
         transform=Compose([
             RandomBrightness(prob=0.3),
@@ -66,11 +77,32 @@ class config:
             RandomRotate(prob=0.3),
             Normalize(),
         ]))
+    # per-source val lists (reference val_dataset_name_list: the combined
+    # set first, then each language/domain evaluated separately via
+    # tools/test_text_recognition_model.py)
+    val_dataset_name_list = [
+        ["aistudio_baidu_street", "chinese_dataset",
+         "synthetic_chinese_string_dataset_testsubset",
+         "meta_self_learning_car",
+         "meta_self_learning_document_testsubset",
+         "meta_self_learning_hand", "meta_self_learning_street",
+         "meta_self_learning_syn"],
+        ["aistudio_baidu_street"],
+        ["chinese_dataset"],
+        ["synthetic_chinese_string_dataset_testsubset"],
+    ]
     test_dataset = TextRecognition(
         text_recognition_dataset_path,
-        set_name_list=["aistudio_baidu_street"],
+        set_name_list=val_dataset_name_list[0],
         set_type="val",
         transform=Compose([Normalize()]))
+    # per-source eval datasets consumed by tools/test_text_recognition_model
+    val_dataset_list = [
+        TextRecognition(text_recognition_dataset_path,
+                        set_name_list=names, set_type="val",
+                        transform=Compose([Normalize()]))
+        for names in val_dataset_name_list
+    ]
     train_collater = KeepRatioResizeTextRecognitionCollater(
         converter, resize_h=32, max_w=512)
     test_collater = KeepRatioResizeTextRecognitionCollater(

@@ -27,6 +27,8 @@ class DINOv3SAMImageEncoder(nn.Module):
     backbone_type: str = "dinov3_vit_base_patch16_backbone"
     out_planes: int = 256
     use_gradient_checkpoint: bool = False
+    # accepted for SAM-API parity; DINOv3 RoPE attention keeps the XLA path
+    use_flash_attention: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact

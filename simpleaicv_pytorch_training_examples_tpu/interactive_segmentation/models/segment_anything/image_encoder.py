@@ -54,9 +54,17 @@ def get_rel_pos(q_size, k_size, rel_pos):
 
 
 class SAMAttention(nn.Module):
-    """MHSA over [B, H, W, C] with decomposed relative position bias."""
+    """MHSA over [B, H, W, C] with decomposed relative position bias.
+
+    use_flash routes the global-attention (4096-token) blocks through the
+    decomposed-rel-pos pallas flash kernel
+    (ops/pallas/flash_attention.py::flash_attention_relpos): the
+    [4096, 4096] bias never materializes — measured 2.7x XLA forward on
+    v5e, and the XLA path cannot even fit forward+backward at bs8 in HBM.
+    Small windowed blocks (<=1024 tokens) stay on the XLA path."""
     head_nums: int
     input_size: Tuple[int, int]
+    use_flash: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -80,12 +88,21 @@ class SAMAttention(nn.Module):
         rq = q.reshape(b, nh, h, w, hd).astype(jnp.float32)
         rel_h = jnp.einsum("bnhwc,hkc->bnhwk", rq, rh)
         rel_w = jnp.einsum("bnhwc,wkc->bnhwk", rq, rw)
-        attn = attn.reshape(b, nh, h, w, h, w) + \
-            rel_h[:, :, :, :, :, None] + rel_w[:, :, :, :, None, :]
-        attn = attn.reshape(b, nh, h * w, h * w)
 
-        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        if self.use_flash and h * w > 1024 and (h * w) % 128 == 0:
+            from ....ops.pallas.flash_attention import (
+                flash_attention_relpos)
+            out = flash_attention_relpos(
+                q, k, v,
+                rel_h.reshape(b, nh, h * w, h),
+                rel_w.reshape(b, nh, h * w, w),
+                force_pallas=True)
+        else:
+            attn = attn.reshape(b, nh, h, w, h, w) + \
+                rel_h[:, :, :, :, :, None] + rel_w[:, :, :, :, None, :]
+            attn = attn.reshape(b, nh, h * w, h * w)
+            attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, h, w, c)
         return nn.Dense(c, dtype=self.dtype, name="proj")(out)
 
@@ -95,6 +112,7 @@ class SAMBlock(nn.Module):
     mlp_ratio: float = 4.0
     input_size: Tuple[int, int] = (64, 64)
     window_size: int = 0
+    use_flash: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -108,8 +126,8 @@ class SAMBlock(nn.Module):
             attn_size = (self.window_size, self.window_size)
         else:
             attn_size = self.input_size
-        x = SAMAttention(self.head_nums, attn_size, self.dtype,
-                         name="attn")(x)
+        x = SAMAttention(self.head_nums, attn_size, self.use_flash,
+                         self.dtype, name="attn")(x)
         if self.window_size > 0:
             x = window_unpartition(x, self.window_size, pad_hw, (h, w))
         x = shortcut + x
@@ -148,6 +166,8 @@ class ViTImageEncoder(nn.Module):
     window_size: int = 14
     global_attn_indexes: Sequence[int] = ()
     use_gradient_checkpoint: bool = False
+    # pallas flash attention for the global blocks (TPU only)
+    use_flash_attention: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -168,7 +188,8 @@ class ViTImageEncoder(nn.Module):
         for i in range(self.block_nums):
             ws = 0 if i in self.global_attn_indexes else self.window_size
             x = block(self.head_nums, self.mlp_ratio, (grid, grid), ws,
-                      self.dtype, name=f"block_{i}")(x)
+                      self.use_flash_attention, self.dtype,
+                      name=f"block_{i}")(x)
 
         x = nn.Conv(self.out_planes, (1, 1), use_bias=False,
                     dtype=self.dtype, name="neck_conv1")(x)

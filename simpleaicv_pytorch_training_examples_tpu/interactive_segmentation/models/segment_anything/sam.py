@@ -34,6 +34,8 @@ class SAM(nn.Module):
     binary_mask_out: bool = False
     mask_threshold: float = 0.0
     use_gradient_checkpoint: bool = False
+    # pallas flash attention for the encoder's global blocks (TPU only)
+    use_flash_attention: bool = False
     # "sam_vit" or a DINOv3 backbone registry name (reference
     # dinov3_segment_anything/dinov3_sam.py swaps only the encoder)
     image_encoder_type: str = "sam_vit"
@@ -46,6 +48,7 @@ class SAM(nn.Module):
                 backbone_type=self.image_encoder_type,
                 out_planes=self.prompt_encoder_embedding_planes,
                 use_gradient_checkpoint=self.use_gradient_checkpoint,
+                use_flash_attention=self.use_flash_attention,
                 dtype=self.dtype)
         else:
             self.image_encoder = ViTImageEncoder(
@@ -58,6 +61,7 @@ class SAM(nn.Module):
                 window_size=14,
                 global_attn_indexes=self.image_encoder_global_attn_indexes,
                 use_gradient_checkpoint=self.use_gradient_checkpoint,
+                use_flash_attention=self.use_flash_attention,
                 dtype=self.dtype)
         self.prompt_encoder = PromptEncoder(
             image_size=self.image_size, patch_size=self.patch_size,

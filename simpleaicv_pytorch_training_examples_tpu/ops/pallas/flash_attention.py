@@ -20,7 +20,11 @@ Measured on v5e, bf16:
   the inference path), fwd+bwd 30.2 ms vs XLA 67.3 — 2.2x for training;
 - SAM2 memory shape (B4 H1 4096 q x 28736 kv + key bias): fwd 8.0 ms vs
   XLA 14.3 (1.8x), fwd+bwd 17.4 ms vs XLA 29.8 (1.7x) at blocks
-  2048/2048.
+  2048/2048;
+- SAM global attention with decomposed rel-pos (B8 H12 N4096 D64):
+  fwd 19.4 ms vs XLA 52.0 (2.7x); fwd+bwd 55.0 ms vs ~181 ms
+  XLA-equivalent (3.3x, scaled from bs2 — the XLA path OOMs HBM at bs8
+  because the [96, 4096, 4096] bias and its gradients materialize).
 
 API: flash_attention(q, k, v, bias=None) with q/k/v [B, H, N, D] and bias
 [B, N_k] (per-key additive, broadcast over heads/queries). Key length is
@@ -332,3 +336,318 @@ def flash_attention(q, k, v, bias=None,
     if pad_q:
         out = out[:, :n_q]
     return out.reshape(b, h, n_q, d)
+
+
+# ------------------------------------------------ decomposed rel-pos flash
+# SAM ViT encoder global attention (image_encoder.py SAMAttention): the
+# score bias decomposes as bias[q, k] = rel_h[q, kh] + rel_w[q, kw] with
+# k = kh * KW + kw on the 64x64 token grid. The decomposed terms are tiny
+# ([N, 64] each) and stream through the kernel via one-hot matmuls on the
+# MXU — the [4096, 4096] bias never materializes.
+
+
+def _rel_onehots(offset, block_k, kh_size, kw_size):
+    """One-hot selectors for a k block: kh_oh [KH, bk], kw_oh [KW, bk]."""
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1) + offset
+    kh_j = cols // kw_size  # [1, bk]
+    kw_j = cols % kw_size
+    kh_i = jax.lax.broadcasted_iota(jnp.int32, (kh_size, 1), 0)
+    kw_i = jax.lax.broadcasted_iota(jnp.int32, (kw_size, 1), 0)
+    return ((kh_i == kh_j).astype(jnp.float32),
+            (kw_i == kw_j).astype(jnp.float32))
+
+
+def _rel_score_block(q, k, rh, rw, offset, sm_scale, kh_size, kw_size):
+    """[bq, bk] scores with decomposed rel-pos terms."""
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * sm_scale
+    kh_oh, kw_oh = _rel_onehots(offset, k.shape[0], kh_size, kw_size)
+    s = s + jnp.dot(rh, kh_oh, preferred_element_type=jnp.float32)
+    s = s + jnp.dot(rw, kw_oh, preferred_element_type=jnp.float32)
+    return s
+
+
+def _fwd_rel_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, lse_ref,
+                    m_scr, l_scr, acc_scr, *, n_k_steps, sm_scale, block_k,
+                    kh_size, kw_size):
+    kstep = pl.program_id(2)
+
+    @pl.when(kstep == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    s = _rel_score_block(q_ref[...], k_ref[...],
+                         rh_ref[...].astype(jnp.float32),
+                         rw_ref[...].astype(jnp.float32),
+                         kstep * block_k, sm_scale, kh_size, kw_size)
+    v = v_ref[...]
+    m_prev = m_scr[...]
+    m_new = jnp.maximum(m_prev, s.max(axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    m_scr[...] = m_new
+    l_scr[...] = l_scr[...] * alpha + p.sum(axis=-1, keepdims=True)
+    acc_scr[...] = acc_scr[...] * alpha + jnp.dot(
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+
+    @pl.when(kstep == n_k_steps - 1)
+    def _finalize():
+        l = l_scr[...]
+        o_ref[...] = (acc_scr[...] / l).astype(o_ref.dtype)
+        lse_ref[0] = (m_scr[...] + jnp.log(l))[:, 0]
+
+
+def _bwd_rel_dkdv_kernel(q_ref, do_ref, lse_ref, delta_ref, rh_ref, rw_ref,
+                         k_ref, v_ref, dk_ref, dv_ref, dk_scr, dv_scr,
+                         *, n_q_steps, sm_scale, block_k, kh_size, kw_size):
+    qstep = pl.program_id(2)
+
+    @pl.when(qstep == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[...]
+    do = do_ref[...]
+    lse = lse_ref[0]
+    delta = delta_ref[0]
+    k = k_ref[...]
+    v = v_ref[...]
+    offset = pl.program_id(1) * block_k
+    s = _rel_score_block(q, k, rh_ref[...].astype(jnp.float32),
+                         rw_ref[...].astype(jnp.float32), offset, sm_scale,
+                         kh_size, kw_size)
+    p = jnp.exp(s - lse[:, None])  # [bq, bk]
+    dv_scr[...] += jnp.dot(p.T.astype(do.dtype), do,
+                           preferred_element_type=jnp.float32)
+    dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)  # [bq, bk]
+    ds = p * (dp - delta[:, None])
+    dk_scr[...] += jnp.dot((ds * sm_scale).T.astype(q.dtype), q,
+                           preferred_element_type=jnp.float32)
+
+    @pl.when(qstep == n_q_steps - 1)
+    def _finalize():
+        dk_ref[...] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[...] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _bwd_rel_dq_kernel(q_ref, do_ref, lse_ref, delta_ref, rh_ref, rw_ref,
+                       k_ref, v_ref, dq_ref, drh_ref, drw_ref, dq_scr,
+                       drh_scr, drw_scr, *, n_k_steps, sm_scale, block_k,
+                       kh_size, kw_size):
+    kstep = pl.program_id(2)
+
+    @pl.when(kstep == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+        drh_scr[...] = jnp.zeros_like(drh_scr)
+        drw_scr[...] = jnp.zeros_like(drw_scr)
+
+    q = q_ref[...]
+    do = do_ref[...]
+    lse = lse_ref[0]
+    delta = delta_ref[0]
+    k = k_ref[...]
+    v = v_ref[...]
+    offset = kstep * block_k
+    s = _rel_score_block(q, k, rh_ref[...].astype(jnp.float32),
+                         rw_ref[...].astype(jnp.float32), offset, sm_scale,
+                         kh_size, kw_size)
+    p = jnp.exp(s - lse[:, None])
+    dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+    ds = p * (dp - delta[:, None])  # [bq, bk]
+    dq_scr[...] += jnp.dot((ds * sm_scale).astype(k.dtype), k,
+                           preferred_element_type=jnp.float32)
+    kh_oh, kw_oh = _rel_onehots(offset, block_k, kh_size, kw_size)
+    drh_scr[...] += jnp.dot(ds, kh_oh.T,
+                            preferred_element_type=jnp.float32)
+    drw_scr[...] += jnp.dot(ds, kw_oh.T,
+                            preferred_element_type=jnp.float32)
+
+    @pl.when(kstep == n_k_steps - 1)
+    def _finalize():
+        dq_ref[...] = dq_scr[...].astype(dq_ref.dtype)
+        drh_ref[...] = drh_scr[...].astype(drh_ref.dtype)
+        drw_ref[...] = drw_scr[...].astype(drw_ref.dtype)
+
+
+def _flash_rel_forward(q, k, v, rh, rw, block_q, block_k, kh_size, kw_size):
+    g, n_q, d = q.shape
+    n_k = k.shape[1]
+    kernel = functools.partial(_fwd_rel_kernel, n_k_steps=n_k // block_k,
+                               sm_scale=d**-0.5, block_k=block_k,
+                               kh_size=kh_size, kw_size=kw_size)
+    return pl.pallas_call(
+        kernel,
+        grid=(g, n_q // block_q, n_k // block_k),
+        in_specs=[
+            pl.BlockSpec((None, block_q, d), lambda i, j, s: (i, j, 0)),
+            pl.BlockSpec((None, block_k, d), lambda i, j, s: (i, s, 0)),
+            pl.BlockSpec((None, block_k, d), lambda i, j, s: (i, s, 0)),
+            pl.BlockSpec((None, block_q, kh_size),
+                         lambda i, j, s: (i, j, 0)),
+            pl.BlockSpec((None, block_q, kw_size),
+                         lambda i, j, s: (i, j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, block_q, d), lambda i, j, s: (i, j, 0)),
+            pl.BlockSpec((None, 1, block_q), lambda i, j, s: (i, 0, j)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((g, n_q, d), q.dtype),
+            jax.ShapeDtypeStruct((g, 1, n_q), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(q, k, v, rh, rw)
+
+
+def _flash_rel_backward(q, k, v, rh, rw, out, lse, g_out, block_q, block_k,
+                        kh_size, kw_size):
+    g, n_q, d = q.shape
+    n_k = k.shape[1]
+    delta = jnp.sum(g_out.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=-1)[:, None, :]
+
+    dkdv = functools.partial(_bwd_rel_dkdv_kernel,
+                             n_q_steps=n_q // block_q, sm_scale=d**-0.5,
+                             block_k=block_k, kh_size=kh_size,
+                             kw_size=kw_size)
+    dk, dv = pl.pallas_call(
+        dkdv,
+        grid=(g, n_k // block_k, n_q // block_q),
+        in_specs=[
+            pl.BlockSpec((None, block_q, d), lambda i, j, s: (i, s, 0)),
+            pl.BlockSpec((None, block_q, d), lambda i, j, s: (i, s, 0)),
+            pl.BlockSpec((None, 1, block_q), lambda i, j, s: (i, 0, s)),
+            pl.BlockSpec((None, 1, block_q), lambda i, j, s: (i, 0, s)),
+            pl.BlockSpec((None, block_q, kh_size),
+                         lambda i, j, s: (i, s, 0)),
+            pl.BlockSpec((None, block_q, kw_size),
+                         lambda i, j, s: (i, s, 0)),
+            pl.BlockSpec((None, block_k, d), lambda i, j, s: (i, j, 0)),
+            pl.BlockSpec((None, block_k, d), lambda i, j, s: (i, j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, block_k, d), lambda i, j, s: (i, j, 0)),
+            pl.BlockSpec((None, block_k, d), lambda i, j, s: (i, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((g, n_k, d), k.dtype),
+            jax.ShapeDtypeStruct((g, n_k, d), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(q, g_out, lse, delta, rh, rw, k, v)
+
+    dqk = functools.partial(_bwd_rel_dq_kernel, n_k_steps=n_k // block_k,
+                            sm_scale=d**-0.5, block_k=block_k,
+                            kh_size=kh_size, kw_size=kw_size)
+    dq, drh, drw = pl.pallas_call(
+        dqk,
+        grid=(g, n_q // block_q, n_k // block_k),
+        in_specs=[
+            pl.BlockSpec((None, block_q, d), lambda i, j, s: (i, j, 0)),
+            pl.BlockSpec((None, block_q, d), lambda i, j, s: (i, j, 0)),
+            pl.BlockSpec((None, 1, block_q), lambda i, j, s: (i, 0, j)),
+            pl.BlockSpec((None, 1, block_q), lambda i, j, s: (i, 0, j)),
+            pl.BlockSpec((None, block_q, kh_size),
+                         lambda i, j, s: (i, j, 0)),
+            pl.BlockSpec((None, block_q, kw_size),
+                         lambda i, j, s: (i, j, 0)),
+            pl.BlockSpec((None, block_k, d), lambda i, j, s: (i, s, 0)),
+            pl.BlockSpec((None, block_k, d), lambda i, j, s: (i, s, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, block_q, d), lambda i, j, s: (i, j, 0)),
+            pl.BlockSpec((None, block_q, kh_size),
+                         lambda i, j, s: (i, j, 0)),
+            pl.BlockSpec((None, block_q, kw_size),
+                         lambda i, j, s: (i, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((g, n_q, d), q.dtype),
+            jax.ShapeDtypeStruct((g, n_q, kh_size), jnp.float32),
+            jax.ShapeDtypeStruct((g, n_q, kw_size), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, kh_size), jnp.float32),
+            pltpu.VMEM((block_q, kw_size), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(q, g_out, lse, delta, rh, rw, k, v)
+    return dq, dk, dv, drh, drw
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _flash_rel(q, k, v, rh, rw, block_q, block_k, kh_size, kw_size):
+    out, _ = _flash_rel_forward(q, k, v, rh, rw, block_q, block_k,
+                                kh_size, kw_size)
+    return out
+
+
+def _flash_rel_fwd_rule(q, k, v, rh, rw, block_q, block_k, kh_size,
+                        kw_size):
+    out, lse = _flash_rel_forward(q, k, v, rh, rw, block_q, block_k,
+                                  kh_size, kw_size)
+    return out, (q, k, v, rh, rw, out, lse)
+
+
+def _flash_rel_bwd_rule(block_q, block_k, kh_size, kw_size, res, g_out):
+    q, k, v, rh, rw, out, lse = res
+    return _flash_rel_backward(q, k, v, rh, rw, out, lse, g_out, block_q,
+                               block_k, kh_size, kw_size)
+
+
+_flash_rel.defvjp(_flash_rel_fwd_rule, _flash_rel_bwd_rule)
+
+
+def flash_attention_relpos(q, k, v, rel_h, rel_w,
+                           block_q=1024, block_k=1024,
+                           force_pallas=False):
+    """[B, H, N, D] attention with decomposed relative-position terms:
+    score[q, kh*KW+kw] = q.k*scale + rel_h[q, kh] + rel_w[q, kw]
+    (SAM ViT global attention, image_encoder.py SAMAttention).
+
+    rel_h [B, H, N, KH], rel_w [B, H, N, KW] with N == KH * KW (already
+    q-contracted: rel_h = einsum('...qc,hkc->...qk', q_grid, Rh)).
+    Gradients flow to q/k/v and both rel terms."""
+    b, h, n, d = q.shape
+    kh_size = rel_h.shape[-1]
+    kw_size = rel_w.shape[-1]
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    ok = (on_tpu and force_pallas and d <= 256 and n == kh_size * kw_size
+          and n % min(block_q, n) == 0)
+    if not ok:
+        bias = (rel_h[..., :, None] + rel_w[..., None, :]).reshape(
+            b, h, n, n)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        logits = logits * (d**-0.5) + bias
+        probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+        return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+    block_q = min(block_q, n)
+    block_k = min(block_k, n)
+    g = b * h
+    out = _flash_rel(q.reshape(g, n, d), k.reshape(g, n, d),
+                     v.reshape(g, n, d),
+                     rel_h.reshape(g, n, kh_size).astype(jnp.float32),
+                     rel_w.reshape(g, n, kw_size).astype(jnp.float32),
+                     block_q, block_k, kh_size, kw_size)
+    return out.reshape(b, h, n, d)

@@ -75,3 +75,47 @@ def test_pallas_kernels_interpret_mode():
                        ("dv", dv, dv_r)]:
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-4, err_msg=name)
+
+
+def test_relpos_kernels_interpret_mode():
+    """Decomposed rel-pos flash (SAM global attention) fwd + fused bwd vs
+    the bias-materializing reference, in pallas interpret mode."""
+    import importlib
+
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    FA_mod = importlib.import_module(
+        "simpleaicv_pytorch_training_examples_tpu.ops.pallas"
+        ".flash_attention")
+
+    rs = np.random.RandomState(2)
+    g_, kh, kw, d = 2, 16, 16, 32
+    n = kh * kw
+    q = jnp.asarray(rs.randn(g_, n, d), jnp.float32)
+    k = jnp.asarray(rs.randn(g_, n, d), jnp.float32)
+    v = jnp.asarray(rs.randn(g_, n, d), jnp.float32)
+    rh = jnp.asarray(rs.randn(g_, n, kh) * 0.3, jnp.float32)
+    rw = jnp.asarray(rs.randn(g_, n, kw) * 0.3, jnp.float32)
+
+    def ref(q, k, v, rh, rw):
+        bias = (rh[..., :, None] + rw[..., None, :]).reshape(g_, n, n)
+        logits = jnp.einsum("gqd,gkd->gqk", q, k) * (d**-0.5) + bias
+        p = jax.nn.softmax(logits, axis=-1)
+        return jnp.einsum("gqk,gkd->gqd", p, v)
+
+    with pltpu.force_tpu_interpret_mode():
+        out, lse = FA_mod._flash_rel_forward(q, k, v, rh, rw, 128, 128,
+                                             kh, kw)
+        np.testing.assert_allclose(np.asarray(out),
+                                   np.asarray(ref(q, k, v, rh, rw)),
+                                   rtol=2e-5, atol=2e-5)
+        g_out = jnp.asarray(rs.randn(g_, n, d), jnp.float32)
+        grads = FA_mod._flash_rel_backward(q, k, v, rh, rw, out, lse,
+                                           g_out, 128, 128, kh, kw)
+    _, vjp = jax.vjp(ref, q, k, v, rh, rw)
+    refs = vjp(g_out)
+    for name, a, b in zip(["dq", "dk", "dv", "drh", "drw"], grads, refs):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-4, err_msg=name)
