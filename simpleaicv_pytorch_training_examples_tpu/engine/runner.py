@@ -51,6 +51,10 @@ def run_training(config, work_dir: str, *,
         make_train_step
 
     distributed_init()
+    if getattr(config, "use_debug_nans", False):
+        # surface the first NaN-producing op (reference keeps
+        # cudnn.deterministic instead; SURVEY.md §5 sanitizers row)
+        jax.config.update("jax_debug_nans", True)
     set_seed(config.seed)
 
     work_dir = os.path.abspath(work_dir)

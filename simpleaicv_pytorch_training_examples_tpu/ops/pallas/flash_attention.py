@@ -18,9 +18,12 @@ by streaming the same blocks again. The per-key bias gets a zero gradient
 Measured on v5e, bf16:
 - SAM encoder shape (B8 H12 N4096 D64): fwd 10.7 ms vs XLA 8.7 (XLA keeps
   the inference path), fwd+bwd 30.2 ms vs XLA 67.3 — 2.2x for training;
-- SAM2 memory shape (B4 H1 4096 q x 28736 kv + key bias): fwd 8.0 ms vs
-  XLA 14.3 (1.8x), fwd+bwd 17.4 ms vs XLA 29.8 (1.7x) at blocks
-  2048/2048;
+- SAM2 memory shape at the production head width (B1 H1 4096 q x
+  28736 kv x 256 d + key bias, blocks 1024^2): fwd 9.9 ms vs XLA 12.5
+  (1.27x), fwd+bwd 13.2 vs 14.9 ms (1.13x) — plus the activation-memory
+  win: the [4096, 28736] probability matrix never reaches HBM, which is
+  what lets larger batch/frame counts fit at all. (At d=64 the same
+  shape measures 1.7-1.8x.);
 - SAM global attention with decomposed rel-pos (B8 H12 N4096 D64):
   fwd 19.4 ms vs XLA 52.0 (2.7x); fwd+bwd 55.0 ms vs ~181 ms
   XLA-equivalent (3.3x, scaled from bs2 — the XLA path OOMs HBM at bs8

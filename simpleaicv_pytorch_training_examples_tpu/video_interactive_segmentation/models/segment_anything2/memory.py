@@ -102,11 +102,10 @@ class RoPEAttention(nn.Module):
 
         if self.use_flash:
             from ....ops.pallas.flash_attention import flash_attention
-            # measured on v5e at the memory shape (4096 q x 28736 kv + key
-            # bias, bf16): blocks 2048/2048 -> fwd 8.0 ms vs XLA 14.3,
-            # fwd+bwd 17.4 ms vs XLA 29.8
+            # blocks sized for the 256-wide single head: 1024^2 keeps the
+            # [bq, bk] probability tile within the VMEM stack budget
             out = flash_attention(qp, kp, vp, bias=key_bias,
-                                  block_q=2048, block_k=2048,
+                                  block_q=1024, block_k=1024,
                                   force_pallas=True)
         else:
             attn = jnp.einsum("bhqd,bhkd->bhqk", qp, kp,
