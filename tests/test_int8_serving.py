@@ -40,6 +40,39 @@ def test_int8_dense_matches_fp():
     assert corr > 0.999, corr
 
 
+def test_int8_static_scales_match_dynamic():
+    """Calibrated static per-tensor activation scales (the fast serving
+    mode) must track the fp forward about as well as dynamic per-token."""
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+    from simpleaicv_pytorch_training_examples_tpu.ops.int8 import (
+        calibrate_activation_scales, int8_apply, quantize_dense_kernels)
+
+    class MLP(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = nn.Dense(256, name="fc1")(x)
+            x = nn.gelu(x)
+            return nn.Dense(128, name="fc2")(x)
+
+    model = MLP()
+    rs = np.random.RandomState(1)
+    calib = [jnp.asarray(rs.randn(16, 128), jnp.float32) for _ in range(3)]
+    x = jnp.asarray(rs.randn(16, 128), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+
+    qtable = quantize_dense_kernels(variables["params"])
+    scales = calibrate_activation_scales(model, variables, qtable, calib)
+    assert set(scales) == set(qtable)
+    assert all(s > 0 for s in scales.values())
+
+    fp = model.apply(variables, x)
+    q8 = int8_apply(model, variables, qtable, x, act_scales=scales)
+    corr = np.corrcoef(np.asarray(fp).ravel(), np.asarray(q8).ravel())[0, 1]
+    assert corr > 0.995, corr
+
+
 def test_int8_vit_logits_track_fp():
     import jax
     import jax.numpy as jnp

@@ -123,6 +123,46 @@ def test_text_metrics():
     assert r == pytest.approx(1.0)
 
 
+def test_category_lcs_meter():
+    """Per-category LCS PR with reference semantics (global char counts,
+    category filtering, garbage-char conversion, ignore threshold —
+    /root/reference/tools/text_scripts.py:512-893)."""
+    from simpleaicv_pytorch_training_examples_tpu.utils.text_metrics import (
+        CategoryLCSMeter)
+
+    meter = CategoryLCSMeter(
+        categories={"num": "0123456789", "alpha": "abcdefghij"},
+        keep_chars=set("abcdefghij0123456789"))
+    # pred "ab12", gt "ab1x" -> x becomes garbage; all-LCS=3 p=3/4 r=3/4;
+    # num: pred "12" gt "1" -> c=1 p=2 t=1; alpha: "ab" vs "ab" -> 2/2/2
+    meter.update("ab12", "ab1x")
+    # spaces stripped, empty gt rows skipped entirely
+    meter.update("zz", " ")
+    pr = meter.results(ignore_threshold=0)
+    assert pr["all"][0] == pytest.approx(3 / 4 * 100)
+    assert pr["all"][1] == pytest.approx(3 / 4 * 100)
+    assert pr["num"][0] == pytest.approx(1 / 2 * 100)
+    assert pr["num"][1] == pytest.approx(100.0)
+    assert pr["alpha"] == (pytest.approx(100.0), pytest.approx(100.0))
+    # below-threshold categories report -1 (not a misleading 0/100)
+    pr = meter.results(ignore_threshold=1000)
+    assert pr["num"] == (-1.0, -1.0)
+
+
+def test_default_category_tables_ship():
+    from simpleaicv_pytorch_training_examples_tpu.text_recognition import (
+        char_sets)
+
+    tables = char_sets.default_category_tables()
+    assert len(tables["num"]) == 10
+    assert len(tables["alpha"]) == 52
+    assert len(tables["chinese_l1"]) == 3500
+    assert len(tables["chinese_l2"]) == 3000
+    assert len(tables["chinese_l3"]) == 1605
+    # GB table chars are CJK, disjoint from ascii
+    assert not (set(tables["chinese_l1"]) & set(tables["alpha"]))
+
+
 def test_flops_counting():
     import jax
     from simpleaicv_pytorch_training_examples_tpu.classification import (

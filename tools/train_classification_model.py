@@ -53,11 +53,11 @@ def main():
         schedule_value)
 
     distributed_init()
+    config = load_config_from_work_dir(args.work_dir, "train_config")
     if getattr(config, "use_debug_nans", False):
         # surface the first NaN-producing op (reference keeps
         # cudnn.deterministic instead; SURVEY.md §5 sanitizers row)
         jax.config.update("jax_debug_nans", True)
-    config = load_config_from_work_dir(args.work_dir, "train_config")
     set_seed(config.seed)
 
     work_dir = os.path.abspath(args.work_dir)

@@ -57,9 +57,17 @@ def build_eval(model, config, ctx):
     from simpleaicv_pytorch_training_examples_tpu.parallel.mesh import (
         pad_batch_to_multiple)
     from simpleaicv_pytorch_training_examples_tpu.utils.text_metrics import (
-        lcs_precision_recall, edit_distance)
+        CategoryLCSMeter, edit_distance)
+    from simpleaicv_pytorch_training_examples_tpu.text_recognition import (
+        char_sets)
 
     converter = config.converter
+    # per-category LCS PR sweep (reference text_scripts.py:512-893):
+    # num/alpha/Chinese-level tables by default, overridable per config
+    category_tables = getattr(config, "char_category_tables", None)
+    if category_tables is None:
+        category_tables = char_sets.default_category_tables()
+    ignore_threshold = getattr(config, "category_ignore_threshold", 1000)
     compute_dtype = jnp.bfloat16 if getattr(config, "use_amp", True) \
         else jnp.float32
 
@@ -71,7 +79,7 @@ def build_eval(model, config, ctx):
     def evaluate(state):
         n, correct = 0, 0
         dist_sum = 0.0
-        lcs_p, lcs_r = [], []
+        meter = CategoryLCSMeter(category_tables)
         for batch in ctx.test_loader:
             padded, n_real = pad_batch_to_multiple(batch, ctx.n_devices)
             sharded = shard_batch(padded, ctx.mesh)
@@ -87,13 +95,16 @@ def build_eval(model, config, ctx):
                 n += 1
                 correct += int(pred == gt)
                 dist_sum += edit_distance(pred, gt)
-                p, r = lcs_precision_recall(pred, gt)
-                lcs_p.append(p)
-                lcs_r.append(r)
+                meter.update(pred, gt)
         acc = correct / max(n, 1) * 100
-        return acc, (f"acc {acc:.3f} edit_dist {dist_sum / max(n, 1):.3f} "
-                     f"lcs_precision {np.mean(lcs_p) * 100:.3f} "
-                     f"lcs_recall {np.mean(lcs_r) * 100:.3f}")
+        pr = meter.results(ignore_threshold=ignore_threshold)
+        report = (f"acc {acc:.3f} edit_dist {dist_sum / max(n, 1):.3f} "
+                  f"lcs_precision {pr['all'][0]:.3f} "
+                  f"lcs_recall {pr['all'][1]:.3f}")
+        for name in category_tables:
+            report += (f" {name}_lcs_p {pr[name][0]:.3f}"
+                       f" {name}_lcs_r {pr[name][1]:.3f}")
+        return acc, report
 
     return evaluate
 
