@@ -20,8 +20,9 @@ from simpleaicv_pytorch_training_examples_tpu.text_recognition import (
     models, losses)
 from simpleaicv_pytorch_training_examples_tpu.text_recognition.datasets.text_recognition_dataset import TextRecognition
 from simpleaicv_pytorch_training_examples_tpu.text_recognition.common import (
-    CTCTextLabelConverter, KeepRatioResizeTextRecognitionCollater,
-    Normalize, RandomBrightness, RandomBlur, RandomRotate, load_state_dict)
+    CTCTextLabelConverter, Distort, KeepRatioResizeTextRecognitionCollater,
+    Normalize, Perspective, RandomBrightness, RandomBlur, RandomRotate,
+    RandomScale, Stretch, load_state_dict)
 from simpleaicv_pytorch_training_examples_tpu.data import Compose
 from simpleaicv_pytorch_training_examples_tpu.text_recognition.char_sets import (
     FINAL_CHAR_TABLE)
@@ -72,9 +73,15 @@ class config:
                        "meta_self_learning_syn"],
         set_type="train",
         transform=Compose([
+            # full reference aug family (train_config.py:91-98), incl. the
+            # WarpMLS Distort/Stretch and Perspective warps
+            RandomScale(prob=0.5),
+            RandomBlur(prob=0.5),
             RandomBrightness(prob=0.3),
-            RandomBlur(prob=0.2),
-            RandomRotate(prob=0.3),
+            RandomRotate(prob=0.5),
+            Distort(prob=0.2),
+            Stretch(prob=0.2),
+            Perspective(prob=0.2),
             Normalize(),
         ]))
     # per-source val lists (reference val_dataset_name_list: the combined

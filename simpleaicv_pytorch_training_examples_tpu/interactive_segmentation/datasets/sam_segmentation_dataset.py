@@ -204,7 +204,10 @@ class SamSegmentationDataset:
         with open(json_path) as f:
             ann = json.load(f)["annotations"][k]
         seg = ann["segmentation"]
-        from ...detection.rle import rle_decode
+        from ...detection.rle import coco_rle_to_mask, rle_decode
+        # SA-1B ships compressed string counts; list counts also accepted
+        if isinstance(seg.get("counts"), str):
+            return coco_rle_to_mask(seg).astype(np.float32)
         return rle_decode(seg).astype(np.float32)
 
     def __getitem__(self, idx):

@@ -138,6 +138,63 @@ def test_sam_synthetic_overfit():
     assert last < 0.6 * first, (first, last)
 
 
+def test_ctc_synthetic_overfit_and_decode():
+    """A tiny CTC recognizer overfits two fixed synthetic text lines: the
+    CTC loss drops to < 20% of its start within 60 steps AND the greedy
+    decode reproduces the target strings exactly (loss + converter + model
+    round-trip, reference text_scripts.py train/test loop contract)."""
+    import jax
+    import jax.numpy as jnp
+    from simpleaicv_pytorch_training_examples_tpu.engine import init_model
+    from simpleaicv_pytorch_training_examples_tpu.text_recognition import (
+        losses)
+    from simpleaicv_pytorch_training_examples_tpu.text_recognition.common import (
+        CTCTextLabelConverter)
+    from simpleaicv_pytorch_training_examples_tpu.text_recognition.models.ctc_model import (
+        resnet18_ctc_model)
+
+    chars = list("abcdefghij0123456789")
+    converter = CTCTextLabelConverter(chars=chars, str_max_length=8)
+    model = resnet18_ctc_model(planes=64,
+                               num_classes=converter.num_classes)
+    params, variables = init_model(model, (1, 32, 192, 3),
+                                   jax.random.PRNGKey(0))
+
+    rs = np.random.RandomState(0)
+    # stride-32 backbone -> 192/32 = 6 CTC frames >= longest target
+    images = rs.rand(2, 32, 192, 3).astype(np.float32)
+    texts = ["abc19", "fgh"]
+    targets, lengths = converter.encode(texts)
+    batch = {"image": jnp.asarray(images),
+             "target": jnp.asarray(targets),
+             "target_length": jnp.asarray(lengths)}
+    criterion = losses.CTCLoss(blank_index=converter.blank_index)
+
+    def loss_fn(params, variables, batch, rng):
+        preds, new_vars = model.apply(
+            {"params": params, **variables}, batch["image"], train=True,
+            mutable=list(variables.keys()))
+        loss = criterion(preds, batch["target"], batch["target_length"])
+        return loss, (dict(new_vars), {"loss": loss})
+
+    state, step = _make_train_bits(model, loss_fn, params, variables,
+                                   lr=2e-3)
+    rng = jax.random.PRNGKey(1)
+    first = None
+    for _ in range(60):
+        state, metrics = step(state, batch, rng)
+        if first is None:
+            first = float(metrics["loss"])
+    last = float(metrics["loss"])
+    assert np.isfinite(last)
+    assert last < 0.2 * first, (first, last)
+
+    preds = model.apply({"params": state.params, **state.variables},
+                        batch["image"], train=False)
+    decoded = converter.decode_batch(np.asarray(preds))
+    assert decoded == texts, decoded
+
+
 def test_ragged_eval_batch_shards_on_mesh():
     """drop_last=False leaves a ragged final eval batch; it must pad to the
     device count, shard over the 8-device mesh, run the jitted eval step,

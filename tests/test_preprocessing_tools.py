@@ -1,0 +1,142 @@
+"""Offline preprocessing tools drive end-to-end over synthetic fixtures:
+the COCO/LVIS->SAM resave (reference interactive_segmentation
+preprocessing 007-012) must produce a layout SamSegmentationDataset reads,
+and the video-matting resave (reference video preprocessing 010-013) must
+produce a layout SAM2VideoMattingDataset reads."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+TOOLS = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tools", "dataset_preprocessing")
+sys.path.insert(0, TOOLS)
+
+
+def _run_with_argv(module_main, argv):
+    old = sys.argv
+    sys.argv = ["tool"] + argv
+    try:
+        module_main()
+    finally:
+        sys.argv = old
+
+
+def test_resave_coco_for_sam_roundtrip(tmp_path):
+    import cv2
+    from resave_coco_lvis_for_sam import main as tool_main
+
+    images_dir = tmp_path / "images"
+    images_dir.mkdir()
+    rs = np.random.RandomState(0)
+    coco = {"images": [], "annotations": []}
+    for i in range(3):
+        name = f"im{i}.jpg"
+        cv2.imwrite(str(images_dir / name),
+                    (rs.rand(60, 90, 3) * 255).astype(np.uint8))
+        coco["images"].append({"id": i, "file_name": name,
+                               "height": 60, "width": 90})
+    # image 0: one good polygon + a near-duplicate (dropped by dup-iou)
+    # + a contained part (dropped by contain-recall) + a tiny one
+    big = [[10, 10, 70, 10, 70, 50, 10, 50]]
+    coco["annotations"] += [
+        {"id": 1, "image_id": 0, "bbox": [10, 10, 60, 40],
+         "segmentation": big},
+        {"id": 2, "image_id": 0, "bbox": [10, 10, 61, 40],
+         "segmentation": [[10, 10, 71, 10, 71, 50, 10, 50]]},
+        {"id": 3, "image_id": 0, "bbox": [20, 20, 10, 10],
+         "segmentation": [[20, 20, 30, 20, 30, 30, 20, 30]]},
+        {"id": 4, "image_id": 0, "bbox": [2, 2, 2, 2],
+         "segmentation": [[2, 2, 4, 2, 4, 4, 2, 4]]},
+    ]
+    # image 1: only degenerate boxes -> image skipped (no-object filter)
+    coco["annotations"].append(
+        {"id": 5, "image_id": 1, "bbox": [5, 5, 1, 1],
+         "segmentation": [[5, 5, 6, 5, 6, 6, 5, 6]]})
+    # image 2: one RLE (uncompressed dict) annotation
+    from simpleaicv_pytorch_training_examples_tpu.detection.rle import (
+        rle_encode)
+    m = np.zeros((60, 90), np.uint8)
+    m[15:45, 30:80] = 1
+    coco["annotations"].append(
+        {"id": 6, "image_id": 2, "bbox": [30, 15, 50, 30],
+         "segmentation": rle_encode(m)})
+    annot_file = tmp_path / "instances.json"
+    annot_file.write_text(json.dumps(coco))
+
+    out = tmp_path / "sam" / "cocoset" / "train"
+    _run_with_argv(tool_main, [
+        "--images", str(images_dir), "--annotations", str(annot_file),
+        "--output-dir", str(out), "--min-area-ratio", "0.002"])
+
+    written = sorted(os.listdir(out))
+    assert "im0.jpg" in written and "im0.json" in written
+    assert "im1.jpg" not in written  # no-object image dropped
+    assert "im2.json" in written
+    with open(out / "im0.json") as f:
+        anns = json.load(f)["annotations"]
+    assert len(anns) == 1  # dup + contained part + tiny all filtered
+
+    # the written layout loads through the SAM dataset (SA-1B json mode)
+    from simpleaicv_pytorch_training_examples_tpu.interactive_segmentation.datasets.sam_segmentation_dataset import (
+        SamSegmentationDataset)
+    ds = SamSegmentationDataset(str(tmp_path / "sam"),
+                                set_name_list=["cocoset"],
+                                set_type="train")
+    assert len(ds) == 2
+    sample = ds[0]
+    assert sample["mask"].sum() > 0
+
+
+def test_resave_video_matting_and_background(tmp_path):
+    import cv2
+    from resave_video_matting_datasets import main as tool_main
+
+    rs = np.random.RandomState(1)
+    # VideoMatte240K-style fgr/pha dirs, 1 video x 6 frames; first frame
+    # has an empty alpha -> trimmed
+    fgr = tmp_path / "fgr" / "vid0"
+    pha = tmp_path / "pha" / "vid0"
+    fgr.mkdir(parents=True)
+    pha.mkdir(parents=True)
+    for t in range(6):
+        cv2.imwrite(str(fgr / f"{t:04d}.jpg"),
+                    (rs.rand(40, 50, 3) * 255).astype(np.uint8))
+        a = np.zeros((40, 50), np.uint8)
+        if t > 0:
+            a[5:30, 10:40] = 200
+        cv2.imwrite(str(pha / f"{t:04d}.png"), a)
+    out = tmp_path / "vm" / "videomatte" / "train"
+    _run_with_argv(tool_main, [
+        "--stage", "matting", "--fgr-dir", str(tmp_path / "fgr"),
+        "--pha-dir", str(tmp_path / "pha"), "--output-dir", str(out)])
+    frames = sorted(os.listdir(out / "vid0"))
+    assert "00000.jpg" in frames and "00000_alpha.png" in frames
+    assert len([f for f in frames if f.endswith(".jpg")]) == 5  # trimmed
+
+    # background frame-dir clips
+    bg_src = tmp_path / "bgs" / "beach"
+    bg_src.mkdir(parents=True)
+    for t in range(4):
+        cv2.imwrite(str(bg_src / f"{t:03d}.jpg"),
+                    (rs.rand(40, 50, 3) * 255).astype(np.uint8))
+    bg_out = tmp_path / "vm_bg" / "train"
+    _run_with_argv(tool_main, [
+        "--stage", "background", "--videos-dir", str(tmp_path / "bgs"),
+        "--output-dir", str(bg_out), "--frame-stride", "2"])
+    assert sorted(os.listdir(bg_out / "beach")) == ["00000.jpg",
+                                                    "00001.jpg"]
+
+    # the written layout loads through the SAM2 video matting dataset
+    from simpleaicv_pytorch_training_examples_tpu.video_interactive_segmentation.datasets.sam2_video_matting_dataset import (
+        SAM2VideoMattingDataset)
+    ds = SAM2VideoMattingDataset(str(tmp_path / "vm"),
+                                 set_name_list=["videomatte"],
+                                 set_type="train", frame_nums=4)
+    assert len(ds) >= 1
+    clip = ds[0]
+    assert len(clip["images"]) == 4  # T frames
+    assert max(a.max() for a in clip["alphas"]) > 0
