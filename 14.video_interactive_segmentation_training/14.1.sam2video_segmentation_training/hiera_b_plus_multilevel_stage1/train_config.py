@@ -34,6 +34,10 @@ class config:
     # stage-2/3 frame_nums=8/16 recipes
     model = sam2_hiera_base_plus_video(image_size=input_image_size,
                                        use_gradient_checkpoint=True,
+                                       # stride-4/8 FPN skips into the
+                                       # decoder upscaling (reference
+                                       # conv_s0/conv_s1)
+                                       use_high_res_features=True,
                                        use_scan=True)
 
     trained_model_path = ""

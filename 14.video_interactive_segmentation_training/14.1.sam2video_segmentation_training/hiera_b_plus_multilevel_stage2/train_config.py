@@ -36,6 +36,10 @@ class config:
     model = sam2_hiera_base_plus_video(image_size=input_image_size,
                                        use_gradient_checkpoint=True,
                                        use_scan=True,
+                                       # stride-4/8 FPN skips into the
+                                       # decoder upscaling (reference
+                                       # conv_s0/conv_s1)
+                                       use_high_res_features=True,
                                        # fused pallas memory attention:
                                        # 1.7-1.8x over XLA on v5e (TPU
                                        # only; auto-fallback elsewhere)

@@ -70,7 +70,9 @@ class TwoWayAttentionBlock(nn.Module):
 
         y = nn.Dense(self.mlp_planes, dtype=self.dtype,
                      name="mlp_lin1")(queries)
-        y = nn.Dense(c, dtype=self.dtype, name="mlp_lin2")(nn.gelu(y))
+        # relu, not gelu: reference MLPBlock (interactive_segmentation
+        # transformer.py:13) and SAM2's 2-layer MLP (transformer.py:18)
+        y = nn.Dense(c, dtype=self.dtype, name="mlp_lin2")(nn.relu(y))
         queries = nn.LayerNorm(dtype=self.dtype, name="norm3")(queries + y)
 
         q = queries + query_pe

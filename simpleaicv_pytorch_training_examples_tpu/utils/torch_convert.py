@@ -17,7 +17,8 @@ import numpy as np
 __all__ = ["convert_resnet_state_dict", "convert_vit_state_dict",
            "convert_van_state_dict", "convert_convformer_state_dict",
            "convert_sam_encoder_state_dict",
-           "convert_sam2_encoder_state_dict", "merge_converted"]
+           "convert_sam2_encoder_state_dict", "convert_sam2_state_dict",
+           "merge_converted"]
 
 
 def _conv_w(w):
@@ -371,3 +372,169 @@ def convert_sam2_encoder_state_dict(sd):
         params[f"conv{i}.bias"] = np.asarray(
             sd[f"neck.convs.{i}.conv.bias"])
     return params, {}
+
+
+def _convtranspose_w(w):
+    # torch ConvTranspose2d [in, out, kh, kw] -> flax ConvTranspose
+    # [kh, kw, in, out]; flax's lax.conv_transpose does NOT flip the
+    # kernel while torch's gradient-of-conv semantics do, so flip the
+    # spatial taps (verified numerically, tests/test_torch_parity.py)
+    return np.ascontiguousarray(
+        np.transpose(w, (2, 3, 0, 1))[::-1, ::-1])
+
+
+def convert_sam2_state_dict(sd):
+    """Full reference SAM2 video checkpoint -> this framework's SAM2Video
+    tree: image encoder (via convert_sam2_encoder_state_dict) + prompt
+    encoder + mask decoder + memory attention + memory encoder + object
+    pointer heads + top-level embeddings.
+
+    Reference converter analogue: SimpleAICV/video_interactive_
+    segmentation/weight_convert/sam2.1_weight_convert_from_pytorch_
+    offical_weight.py; source naming per
+    .../models/segment_anything2/sam2video_train.py:50-190.
+
+    Returns (params_flat, constants_flat) — constants_flat carries the
+    prompt encoder's fixed gaussian PE matrix ('constants' collection).
+    Reference-only leaves with no counterpart here are skipped:
+    no_memory_position_encoder (initialized but never read in the
+    reference forward) and mask_downsample (its mask-as-prompt tracking
+    entry, not this model's prompt path).
+    """
+    params, constants = {}, {}
+    enc_params, _ = convert_sam2_encoder_state_dict(sd)
+    for k, v in enc_params.items():
+        params[f"image_encoder.{k}"] = v
+
+    def put_linear(tp, fp):
+        params[f"{fp}.kernel"] = _linear_w(np.asarray(sd[f"{tp}.weight"]))
+        if f"{tp}.bias" in sd:
+            params[f"{fp}.bias"] = np.asarray(sd[f"{tp}.bias"])
+
+    def put_ln(tp, fp, scale_name="scale"):
+        params[f"{fp}.{scale_name}"] = np.asarray(sd[f"{tp}.weight"])
+        params[f"{fp}.bias"] = np.asarray(sd[f"{tp}.bias"])
+
+    def put_conv(tp, fp):
+        params[f"{fp}.kernel"] = _conv_w(np.asarray(sd[f"{tp}.weight"]))
+        params[f"{fp}.bias"] = np.asarray(sd[f"{tp}.bias"])
+
+    def put_mlp(tp, fp, n=3):
+        for j in range(n):
+            put_linear(f"{tp}.layers.{j}", f"{fp}.layer_{j}")
+
+    def put_attn(tp, fp):
+        for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            put_linear(f"{tp}.{proj}", f"{fp}.{proj}")
+
+    # ---- top-level embeddings
+    params["mask_memory_time_position_encoder"] = np.asarray(
+        sd["mask_memory_time_position_encoder"]).reshape(
+            sd["mask_memory_time_position_encoder"].shape[0], -1)
+    params["no_memory_embedding"] = np.asarray(
+        sd["no_memory_embedding"]).reshape(1, -1)
+    params["no_object_pointer"] = np.asarray(sd["no_object_pointer"])
+    params["no_object_embedding_spatial"] = np.asarray(
+        sd["no_object_embedding_spatial"])
+    put_mlp("object_pointer_projection", "object_pointer_projection")
+    put_linear("object_pointer_time_position_projection",
+               "object_pointer_time_position_projection")
+
+    # ---- prompt encoder
+    constants["prompt_encoder.pe_layer."
+              "positional_encoding_gaussian_matrix"] = np.asarray(
+        sd["prompt_encoder.pe_layer.positional_encoding_gaussian_matrix"])
+    params["prompt_encoder.point_embeddings"] = np.concatenate(
+        [np.asarray(sd[f"prompt_encoder.point_embeddings.{i}.weight"])
+         for i in range(4)], axis=0)
+    params["prompt_encoder.not_a_point_embed"] = np.asarray(
+        sd["prompt_encoder.not_a_point_embed.weight"])
+    params["prompt_encoder.no_mask_embed"] = np.asarray(
+        sd["prompt_encoder.no_mask_embed.weight"])
+    put_conv("prompt_encoder.mask_downscaling.0",
+             "prompt_encoder.mask_conv1")
+    put_ln("prompt_encoder.mask_downscaling.1",
+           "prompt_encoder.mask_ln1", scale_name="weight")
+    put_conv("prompt_encoder.mask_downscaling.3",
+             "prompt_encoder.mask_conv2")
+    put_ln("prompt_encoder.mask_downscaling.4",
+           "prompt_encoder.mask_ln2", scale_name="weight")
+    put_conv("prompt_encoder.mask_downscaling.6",
+             "prompt_encoder.mask_conv3")
+
+    # ---- mask decoder
+    md, fd = "mask_decoder", "mask_decoder"
+    for tok in ("iou_token", "mask_tokens", "obj_score_token"):
+        params[f"{fd}.{tok}"] = np.asarray(sd[f"{md}.{tok}.weight"])
+    for sk in ("conv_s0", "conv_s1"):  # high-res skip projections
+        if f"{md}.{sk}.weight" in sd:
+            put_conv(f"{md}.{sk}", f"{fd}.{sk}")
+    for i in range(2):
+        tl, fl = f"{md}.transformer.layers.{i}", \
+            f"{fd}.transformer.layer_{i}"
+        put_attn(f"{tl}.self_attn", f"{fl}.self_attn")
+        put_attn(f"{tl}.cross_attn_token_to_image",
+                 f"{fl}.cross_attn_token_to_image")
+        put_attn(f"{tl}.cross_attn_image_to_token",
+                 f"{fl}.cross_attn_image_to_token")
+        put_linear(f"{tl}.mlp.layers.0", f"{fl}.mlp_lin1")
+        put_linear(f"{tl}.mlp.layers.1", f"{fl}.mlp_lin2")
+        for n in ("norm1", "norm2", "norm3", "norm4"):
+            put_ln(f"{tl}.{n}", f"{fl}.{n}")
+    put_attn(f"{md}.transformer.final_attn_token_to_image",
+             f"{fd}.transformer.final_attn_token_to_image")
+    put_ln(f"{md}.transformer.norm_final_attn",
+           f"{fd}.transformer.norm_final_attn")
+    params[f"{fd}.upscale_conv1.kernel"] = _convtranspose_w(
+        np.asarray(sd[f"{md}.output_upscaling.0.weight"]))
+    params[f"{fd}.upscale_conv1.bias"] = np.asarray(
+        sd[f"{md}.output_upscaling.0.bias"])
+    put_ln(f"{md}.output_upscaling.1", f"{fd}.upscale_ln",
+           scale_name="weight")
+    params[f"{fd}.upscale_conv2.kernel"] = _convtranspose_w(
+        np.asarray(sd[f"{md}.output_upscaling.3.weight"]))
+    params[f"{fd}.upscale_conv2.bias"] = np.asarray(
+        sd[f"{md}.output_upscaling.3.bias"])
+    n_hyper = 1 + max(int(k.split(".")[2]) for k in sd
+                      if k.startswith(f"{md}.output_hypernetworks_mlps."))
+    for i in range(n_hyper):
+        put_mlp(f"{md}.output_hypernetworks_mlps.{i}", f"{fd}.hyper_mlp_{i}")
+    put_mlp(f"{md}.iou_prediction_head", f"{fd}.iou_prediction_head")
+    put_mlp(f"{md}.pred_obj_score_head", f"{fd}.pred_obj_score_head")
+
+    # ---- memory attention
+    n_mem_layers = 1 + max(int(k.split(".")[2]) for k in sd
+                           if k.startswith("memory_attention.layers."))
+    for i in range(n_mem_layers):
+        tl, fl = f"memory_attention.layers.{i}", \
+            f"memory_attention.layer_{i}"
+        put_attn(f"{tl}.self_attn", f"{fl}.self_attn")
+        put_attn(f"{tl}.cross_attn_image", f"{fl}.cross_attn_image")
+        put_linear(f"{tl}.linear1", f"{fl}.linear1")
+        put_linear(f"{tl}.linear2", f"{fl}.linear2")
+        for n in ("norm1", "norm2", "norm3"):
+            put_ln(f"{tl}.{n}", f"{fl}.{n}")
+    put_ln("memory_attention.norm", "memory_attention.norm")
+
+    # ---- memory encoder
+    me, fe = "memory_encoder", "memory_encoder"
+    for tc, fc in ((0, 0), (3, 1), (6, 2), (9, 3)):
+        put_conv(f"{me}.mask_downsampler.encoder.{tc}",
+                 f"{fe}.mask_down_{fc}")
+        put_ln(f"{me}.mask_downsampler.encoder.{tc + 1}",
+               f"{fe}.mask_down_ln_{fc}")
+    put_conv(f"{me}.mask_downsampler.encoder.12", f"{fe}.mask_down_out")
+    put_conv(f"{me}.pix_feat_proj", f"{fe}.pix_feat_proj")
+    n_fuser = 1 + max(int(k.split(".")[3]) for k in sd
+                      if k.startswith(f"{me}.fuser.layers."))
+    for i in range(n_fuser):
+        tl, fl = f"{me}.fuser.layers.{i}", f"{fe}.fuser_{i}"
+        params[f"{fl}.gamma"] = np.asarray(sd[f"{tl}.gamma"])
+        params[f"{fl}.dwconv.kernel"] = _dw_conv_w(
+            np.asarray(sd[f"{tl}.dwconv.weight"]))
+        params[f"{fl}.dwconv.bias"] = np.asarray(sd[f"{tl}.dwconv.bias"])
+        put_ln(f"{tl}.norm", f"{fl}.norm")
+        put_linear(f"{tl}.pwconv1", f"{fl}.pwconv1")
+        put_linear(f"{tl}.pwconv2", f"{fl}.pwconv2")
+    put_conv(f"{me}.out_proj", f"{fe}.out_proj")
+    return params, constants

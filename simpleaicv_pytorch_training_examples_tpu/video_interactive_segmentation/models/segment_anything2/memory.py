@@ -186,7 +186,8 @@ class CXBlock(nn.Module):
                     dtype=self.dtype, name="dwconv")(x)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         x = nn.Dense(4 * c, dtype=self.dtype, name="pwconv1")(x)
-        x = nn.Dense(c, dtype=self.dtype, name="pwconv2")(nn.gelu(x))
+        x = nn.Dense(c, dtype=self.dtype,
+                     name="pwconv2")(nn.gelu(x, approximate=False))
         gamma = self.param("gamma", nn.initializers.constant(1e-6), (c,))
         return inp + gamma.astype(x.dtype) * x
 
@@ -210,7 +211,7 @@ class MemoryEncoder(nn.Module):
                         dtype=self.dtype, name=f"mask_down_{i}")(x)
             x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
                              name=f"mask_down_ln_{i}")(x)
-            x = nn.gelu(x)
+            x = nn.gelu(x, approximate=False)
         x = nn.Conv(self.inplanes, (1, 1), dtype=self.dtype,
                     name="mask_down_out")(x)
 

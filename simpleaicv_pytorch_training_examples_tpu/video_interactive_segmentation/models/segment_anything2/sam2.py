@@ -53,14 +53,18 @@ def get_1d_sine_pe(pos, dim, temperature=10000):
 
 class SAM2MaskDecoder(nn.Module):
     """SAM decoder + object score token / occlusion head (reference
-    mask_decoder.py:53-186)."""
+    mask_decoder.py:53-186). With use_high_res_features, the stride-4/8
+    FPN features skip into the upscaling convs (reference conv_s0/conv_s1,
+    mask_decoder.py:153-161) for sharper mask boundaries."""
     inplanes: int = 256
     num_multimask_outputs: int = 3
+    use_high_res_features: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, image_embeddings, image_pe,
-                 sparse_prompt_embeddings, dense_prompt_embeddings):
+                 sparse_prompt_embeddings, dense_prompt_embeddings,
+                 high_res_features=None):
         c = self.inplanes
         num_mask_tokens = self.num_multimask_outputs + 1
         init = nn.initializers.normal(1.0)
@@ -90,10 +94,24 @@ class SAM2MaskDecoder(nn.Module):
         src2 = src.reshape(b, h, w, c)
         x = nn.ConvTranspose(c // 4, (2, 2), strides=(2, 2),
                              dtype=self.dtype, name="upscale_conv1")(src2)
-        x = nn.gelu(LayerNorm2d(name="upscale_ln")(x))
-        x = nn.gelu(nn.ConvTranspose(c // 8, (2, 2), strides=(2, 2),
-                                     dtype=self.dtype,
-                                     name="upscale_conv2")(x))
+        if self.use_high_res_features:
+            feat_s0, feat_s1 = high_res_features  # strides 4 and 8, NHWC
+            x = x + nn.Conv(c // 4, (1, 1), dtype=self.dtype,
+                            name="conv_s1")(feat_s1)
+            x = nn.gelu(LayerNorm2d(name="upscale_ln")(x),
+                        approximate=False)
+            x = nn.ConvTranspose(c // 8, (2, 2), strides=(2, 2),
+                                 dtype=self.dtype, name="upscale_conv2")(x)
+            x = nn.gelu(x + nn.Conv(c // 8, (1, 1), dtype=self.dtype,
+                                    name="conv_s0")(feat_s0),
+                        approximate=False)
+        else:
+            x = nn.gelu(LayerNorm2d(name="upscale_ln")(x),
+                        approximate=False)
+            x = nn.gelu(nn.ConvTranspose(c // 8, (2, 2), strides=(2, 2),
+                                         dtype=self.dtype,
+                                         name="upscale_conv2")(x),
+                        approximate=False)
         hyper_in = jnp.stack([
             MLP(c, c // 8, 3, self.dtype, name=f"hyper_mlp_{i}")(
                 mask_tokens_out[:, i]) for i in range(num_mask_tokens)
@@ -135,6 +153,10 @@ class SAM2Video(nn.Module):
     # route memory attention through the fused pallas flash kernel (TPU
     # only; falls back to XLA attention off-TPU)
     use_flash_attention: bool = False
+    # stride-4/8 FPN features skip into the decoder upscaling (reference
+    # mask_decoder.py conv_s0/conv_s1 — always on in the reference; off by
+    # default here to keep the lean decode path, on in the 14.* configs)
+    use_high_res_features: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -157,8 +179,10 @@ class SAM2Video(nn.Module):
         self.prompt_encoder = PromptEncoder(
             image_size=self.image_size, patch_size=16,
             embedding_planes=self.fpn_planes, dtype=self.dtype)
-        self.mask_decoder = SAM2MaskDecoder(inplanes=self.fpn_planes,
-                                            dtype=self.dtype)
+        self.mask_decoder = SAM2MaskDecoder(
+            inplanes=self.fpn_planes,
+            use_high_res_features=self.use_high_res_features,
+            dtype=self.dtype)
         self.memory_attention = MemoryAttention(
             inplanes=self.fpn_planes, layer_nums=4,
             feat_sizes=(self.image_size // 16, self.image_size // 16),
@@ -174,6 +198,11 @@ class SAM2Video(nn.Module):
             "no_memory_embedding", init, (1, self.fpn_planes))
         self.no_object_pointer = self.param(
             "no_object_pointer", init, (1, self.fpn_planes))
+        # added to encoded frame memories when the occlusion head says the
+        # object is absent (reference sam2video_train.py:161,955-960) so
+        # the memory bank carries an explicit "object gone" signal
+        self.no_object_embedding_spatial = self.param(
+            "no_object_embedding_spatial", init, (1, self.memory_planes))
         self.object_pointer_projection = MLP(
             self.fpn_planes, self.fpn_planes, 3, self.dtype,
             name="object_pointer_projection")
@@ -181,8 +210,9 @@ class SAM2Video(nn.Module):
             self.memory_planes, dtype=self.dtype,
             name="object_pointer_time_position_projection")
 
-    def _decode_frame(self, feat, prompts):
-        """feat [B, H16, W16, C]; prompts dict or None -> per-frame preds."""
+    def _decode_frame(self, feat, prompts, highres=None):
+        """feat [B, H16, W16, C]; prompts dict or None -> per-frame preds.
+        highres: (feat_s4, feat_s8) when use_high_res_features."""
         b = feat.shape[0]
         if prompts is None:
             sparse = jnp.zeros((b, 1, self.fpn_planes))
@@ -198,7 +228,7 @@ class SAM2Video(nn.Module):
                 masks_valid=prompts.get("prompt_mask_valid"))
         image_pe = self.prompt_encoder.get_dense_pe_layer()
         masks, ious, mask_tokens_out, obj_logits = self.mask_decoder(
-            feat, image_pe, sparse, dense)
+            feat, image_pe, sparse, dense, high_res_features=highres)
         # best mask by predicted iou
         best = jnp.argmax(ious, axis=-1)
         bidx = jnp.arange(b)
@@ -219,12 +249,19 @@ class SAM2Video(nn.Module):
     # sam2_stream.SAM2VideoStream for the test-time entry points) ----
 
     def encode_frame(self, images):
-        """images [B,H,W,3] -> (feat16 [B,s,s,C], pos16 [B,s,s,C])."""
+        """images [B,H,W,3] -> (feat16 [B,s,s,C], pos16 [B,s,s,C]); with
+        use_high_res_features also the stride-4/8 skip features:
+        (feat16, pos16, (feat_s4, feat_s8))."""
         s16 = self.image_size // 16
         features, positions = self.image_encoder(images)
         b = images.shape[0]
         feat = features[-1].reshape(b, s16, s16, self.fpn_planes)
         pos = positions[-1].reshape(b, s16, s16, self.fpn_planes)
+        if self.use_high_res_features:
+            s4, s8 = self.image_size // 4, self.image_size // 8
+            hr = (features[0].reshape(b, s4, s4, self.fpn_planes),
+                  features[1].reshape(b, s8, s8, self.fpn_planes))
+            return feat, pos, hr
         return feat, pos
 
     def _empty_carry(self, b):
@@ -248,7 +285,8 @@ class SAM2Video(nn.Module):
             "track_count": jnp.zeros((), jnp.int32),
         }
 
-    def _write_memory(self, carry, feat, best_mask, pointer, is_cond):
+    def _write_memory(self, carry, feat, best_mask, pointer, is_cond,
+                      obj_logits=None):
         """Encode (feat, mask) into memory. Condition (prompted) frames fill
         slots [0, memory_cond_slots); tracked frames rotate through the
         remaining ring slots (reference prepare_memory_conditioned_features
@@ -264,6 +302,12 @@ class SAM2Video(nn.Module):
             feat, jax.image.resize(
                 best_mask[..., None],
                 (b, self.image_size, self.image_size, 1), "bilinear"))
+        if obj_logits is not None:
+            # occlusion signal into the stored memory (reference
+            # sam2video_train.py:950-960)
+            is_obj = (obj_logits[:, 0] > 0).astype(mem.dtype)
+            mem = mem + (1.0 - is_obj)[:, None, None, None] * \
+                self.no_object_embedding_spatial[0]
         cond_slots = max(1, min(self.memory_cond_slots, s_mem - 1))
         ring = s_mem - cond_slots
         is_cond_f = jnp.asarray(is_cond, jnp.float32)
@@ -290,7 +334,8 @@ class SAM2Video(nn.Module):
             (is_cond_f <= 0).astype(jnp.int32)
         return carry
 
-    def _point_iter_refine(self, conditioned, outs, gt_mask, rng, n_iters):
+    def _point_iter_refine(self, conditioned, outs, gt_mask, rng, n_iters,
+                           highres=None):
         """Point-iteration refinement on a tracked frame (reference
         sam2video_train.py:840-911 decoder_point_iters_sampling_and_
         predict_mask): n_iters times, click the FP/FN region of the current
@@ -318,22 +363,23 @@ class SAM2Video(nn.Module):
                 "prompt_mask_valid": jnp.ones((b,)),
             }
             masks_up, ious, obj, pointer, best_mask = self._decode_frame(
-                conditioned, prompts)
+                conditioned, prompts, highres=highres)
         return masks_up, ious, obj, pointer, best_mask
 
-    def start_track(self, feat, prompts):
+    def start_track(self, feat, prompts, highres=None):
         """Prompted first frame: decode + seed the memory carry."""
         b = feat.shape[0]
         masks, ious, obj, pointer, best_mask = self._decode_frame(
-            feat, prompts)
+            feat, prompts, highres=highres)
         carry = self._empty_carry(b)
         carry = self._write_memory(carry, feat, best_mask, pointer,
-                                   is_cond=jnp.bool_(True))
+                                   is_cond=jnp.bool_(True),
+                                   obj_logits=obj)
         return (masks, ious, obj), carry
 
     def track_frame(self, feat, pos, carry, frame_prompts=None,
                     is_cond=None, gt_mask=None, iter_flag=None, rng=None,
-                    point_iters=0):
+                    point_iters=0, highres=None):
         """Memory-conditioned frame: decode + memory update. frame_idx is
         traced — one compiled program serves every frame.
 
@@ -393,26 +439,30 @@ class SAM2Video(nn.Module):
             num_obj_ptr_tokens=p_max * ratio, key_bias=key_bias)
         conditioned = conditioned.reshape(b, s16, s16, self.fpn_planes)
 
-        outs = self._decode_frame(conditioned, frame_prompts)
+        outs = self._decode_frame(conditioned, frame_prompts,
+                                  highres=highres)
         if point_iters > 0 and gt_mask is not None:
             refined = self._point_iter_refine(conditioned, outs, gt_mask,
-                                              rng, point_iters)
+                                              rng, point_iters,
+                                              highres=highres)
             sel = iter_flag > 0 if iter_flag is not None else False
             outs = tuple(jnp.where(sel, r, o)
                          for r, o in zip(refined, outs))
         masks, ious, obj, pointer, best_mask = outs
         carry = self._write_memory(
             carry, feat, best_mask, pointer,
-            is_cond=jnp.bool_(False) if is_cond is None else is_cond)
+            is_cond=jnp.bool_(False) if is_cond is None else is_cond,
+            obj_logits=obj)
         return (masks, ious, obj), carry
 
-    def add_prompt_frame(self, feat, prompts, carry):
+    def add_prompt_frame(self, feat, prompts, carry, highres=None):
         """Add a new prompted (condition) frame mid-stream (reference
         sam2video_test.py add_new_object_prompt_input:286)."""
         masks, ious, obj, pointer, best_mask = self._decode_frame(
-            feat, prompts)
+            feat, prompts, highres=highres)
         carry = self._write_memory(carry, feat, best_mask, pointer,
-                                   is_cond=jnp.bool_(True))
+                                   is_cond=jnp.bool_(True),
+                                   obj_logits=obj)
         return (masks, ious, obj), carry
 
     @staticmethod
@@ -454,6 +504,16 @@ class SAM2Video(nn.Module):
                                       self.fpn_planes)
         pos16 = positions[-1].reshape(b, t_frames, s16, s16,
                                       self.fpn_planes)
+        hr4 = hr8 = None
+        if self.use_high_res_features:
+            s4, s8 = self.image_size // 4, self.image_size // 8
+            hr4 = features[0].reshape(b, t_frames, s4, s4, self.fpn_planes)
+            hr8 = features[1].reshape(b, t_frames, s8, s8, self.fpn_planes)
+
+        def hr_at(t):
+            if hr4 is None:
+                return None
+            return (hr4[:, t], hr8[:, t])
 
         # per-frame prompts iff prompt_point carries a T axis: [B,T,P,3]
         pp = frame0_prompts.get("prompt_point") \
@@ -462,7 +522,8 @@ class SAM2Video(nn.Module):
         p0 = self._slice_prompts(frame0_prompts, 0) if per_frame \
             else frame0_prompts
 
-        (masks0, ious0, obj0), carry = self.start_track(feat16[:, 0], p0)
+        (masks0, ious0, obj0), carry = self.start_track(
+            feat16[:, 0], p0, highres=hr_at(0))
         if t_frames == 1:
             return (masks0[:, None], ious0[:, None], obj0[:, None])
 
@@ -483,7 +544,8 @@ class SAM2Video(nn.Module):
                     gt_mask=xt.get("gt"),
                     iter_flag=xt["iter"],
                     rng=xt["rng"],
-                    point_iters=point_iters if refine else 0)
+                    point_iters=point_iters if refine else 0,
+                    highres=xt.get("hr"))
                 return carry, out
 
             # broadcast every non-param collection too (the prompt
@@ -506,6 +568,9 @@ class SAM2Video(nn.Module):
                     for k, v in frame0_prompts.items() if v is not None}
             if refine:
                 xs["gt"] = gt_masks[:, 1:].swapaxes(0, 1)
+            if hr4 is not None:
+                xs["hr"] = (hr4[:, 1:].swapaxes(0, 1),
+                            hr8[:, 1:].swapaxes(0, 1))
             _, (m, i, o) = scan(self, carry, xs)
             return (jnp.concatenate([masks0[:, None],
                                      m.swapaxes(0, 1)], axis=1),
@@ -526,7 +591,8 @@ class SAM2Video(nn.Module):
                 gt_mask=gt_masks[:, t] if refine else None,
                 iter_flag=iters[t],
                 rng=frame_rngs[t],
-                point_iters=point_iters if refine else 0)
+                point_iters=point_iters if refine else 0,
+                highres=hr_at(t))
             all_masks.append(masks)
             all_ious.append(ious)
             all_obj.append(obj)

@@ -213,3 +213,157 @@ def test_sam2_hiera_encoder_matches_reference():
     if t_out.ndim == 4 and t_out.shape != j_out.shape:
         t_out = t_out.transpose(0, 2, 3, 1)
     np.testing.assert_allclose(t_out, j_out, atol=2e-5)
+
+
+@pytest.fixture(scope="module")
+def sam2_pair():
+    """Tiny reference torch SAM2Video + our flax SAM2Video with the FULL
+    converted state dict (convert_sam2_state_dict) merged in."""
+    sys.path.insert(0, REFERENCE)
+    import torch
+    import jax
+    import jax.numpy as jnp
+    from SimpleAICV.video_interactive_segmentation.models.segment_anything2.sam2video_train import (
+        _sam2video)
+    from simpleaicv_pytorch_training_examples_tpu.video_interactive_segmentation.models.segment_anything2.sam2 import (
+        SAM2Video)
+    from simpleaicv_pytorch_training_examples_tpu.utils.torch_convert import (
+        convert_sam2_state_dict, merge_converted)
+
+    torch.manual_seed(0)
+    tnet = _sam2video(
+        image_size=128, patch_size=16, image_encoder_embedding_planes=32,
+        image_encoder_head_nums=1, image_encoder_block_nums=[1, 2, 2, 1],
+        image_encoder_window_position_embedding_bkg_spatial_size=[7, 7],
+        image_encoder_window_specification=[4, 2, 7, 2],
+        image_encoder_global_attention_blocks=[3],
+        prompt_encoder_embedding_planes=256).eval()
+
+    jnet = SAM2Video(image_size=128, embedding_planes=32, head_nums=1,
+                     block_nums=(1, 2, 2, 1),
+                     window_specification=(4, 2, 7, 2),
+                     global_attention_blocks=(3,),
+                     use_high_res_features=True)
+    images = jnp.zeros((1, 2, 128, 128, 3))
+    prompts = {"prompt_point": jnp.zeros((1, 1, 3)),
+               "prompt_box": jnp.zeros((1, 4)),
+               "prompt_box_valid": jnp.zeros((1,)),
+               "prompt_mask": jnp.zeros((1, 32, 32, 1)),
+               "prompt_mask_valid": jnp.zeros((1,))}
+    v = jnet.init({"params": jax.random.PRNGKey(0)}, images, prompts)
+
+    pf, cf = convert_sam2_state_dict(tnet.state_dict())
+    params, _ = merge_converted(v["params"], {}, pf, {})
+    constants, _ = merge_converted(v["constants"], {}, cf, {})
+    return tnet, jnet, {"params": params, "constants": constants}
+
+
+def test_sam2_full_converter_covers_tree(sam2_pair):
+    """Every flax leaf must be filled by the converter (no silent
+    random-init leftovers)."""
+    import jax
+    from simpleaicv_pytorch_training_examples_tpu.utils.torch_convert import (
+        convert_sam2_state_dict)
+
+    tnet, jnet, v = sam2_pair
+    pf, cf = convert_sam2_state_dict(tnet.state_dict())
+    flat = jax.tree_util.tree_flatten_with_path(v["params"])[0]
+    names = {".".join(str(getattr(p, "key", "")) for p in path)
+             for path, _ in flat}
+    missing = sorted(n for n in names if n not in pf)
+    assert not missing, missing[:10]
+
+
+def test_sam2_memory_encoder_parity(sam2_pair):
+    import torch
+    import jax.numpy as jnp
+    tnet, jnet, v = sam2_pair
+    rs = np.random.RandomState(0)
+    feat = rs.rand(1, 8, 8, 256).astype(np.float32)
+    mask = (rs.rand(1, 128, 128, 1) * 8 - 4).astype(np.float32)
+    with torch.no_grad():
+        t_feat, t_pos = tnet.memory_encoder(
+            torch.from_numpy(feat.transpose(0, 3, 1, 2)),
+            torch.from_numpy(mask.transpose(0, 3, 1, 2)))
+    j_feat, j_pos = jnet.apply(
+        v, jnp.asarray(feat), jnp.asarray(mask),
+        method=lambda mdl, f, m: mdl.memory_encoder(f, m))
+    np.testing.assert_allclose(t_feat.numpy().transpose(0, 2, 3, 1),
+                               np.asarray(j_feat), atol=2e-4)
+    np.testing.assert_allclose(t_pos.numpy().transpose(0, 2, 3, 1),
+                               np.asarray(j_pos), atol=2e-4)
+
+
+def test_sam2_memory_attention_parity(sam2_pair):
+    import torch
+    import jax.numpy as jnp
+    tnet, jnet, v = sam2_pair
+    rs = np.random.RandomState(1)
+    n, m_rope, n_ptr = 64, 128, 4  # 8x8 grid; 2 rope repeats; 4 pointers
+    curr = rs.randn(1, n, 256).astype(np.float32)
+    curr_pos = rs.randn(1, n, 256).astype(np.float32)
+    memory = rs.randn(1, m_rope + n_ptr, 64).astype(np.float32)
+    memory_pos = rs.randn(1, m_rope + n_ptr, 64).astype(np.float32)
+    with torch.no_grad():
+        t_out = tnet.memory_attention(
+            curr=[torch.from_numpy(curr.transpose(1, 0, 2))],
+            curr_pos=[torch.from_numpy(curr_pos.transpose(1, 0, 2))],
+            memory=torch.from_numpy(memory.transpose(1, 0, 2)),
+            memory_pos=torch.from_numpy(memory_pos.transpose(1, 0, 2)),
+            num_obj_ptr_tokens=n_ptr).numpy().transpose(1, 0, 2)
+    j_out = jnet.apply(
+        v, jnp.asarray(curr), jnp.asarray(memory), jnp.asarray(curr_pos),
+        jnp.asarray(memory_pos),
+        method=lambda mdl, c, mem, cp, mp: mdl.memory_attention(
+            c, mem, cp, mp, num_obj_ptr_tokens=n_ptr))
+    np.testing.assert_allclose(t_out, np.asarray(j_out), atol=3e-4)
+
+
+def test_sam2_prompt_and_mask_decoder_parity(sam2_pair):
+    import torch
+    import jax
+    import jax.numpy as jnp
+    tnet, jnet, v = sam2_pair
+    rs = np.random.RandomState(2)
+    points = np.array([[[40.0, 60.0, 1.0], [90.0, 20.0, 0.0]]], np.float32)
+    with torch.no_grad():
+        t_sparse, t_dense = tnet.prompt_encoder(
+            torch.from_numpy(points), None, None)
+        t_pe = tnet.prompt_encoder.get_dense_pe_layer()
+    j_sparse, j_dense = jnet.apply(
+        v, jnp.asarray(points),
+        method=lambda mdl, p: mdl.prompt_encoder(p, None, None))
+    np.testing.assert_allclose(t_sparse.detach().numpy(), np.asarray(j_sparse),
+                               atol=2e-4)
+    np.testing.assert_allclose(
+        t_dense.detach().numpy().transpose(0, 2, 3, 1),
+        np.broadcast_to(np.asarray(j_dense), (1, 8, 8, 256)), atol=2e-4)
+
+    feat = rs.rand(1, 8, 8, 256).astype(np.float32)
+    s0 = rs.rand(1, 32, 32, 256).astype(np.float32)
+    s1 = rs.rand(1, 16, 16, 256).astype(np.float32)
+    with torch.no_grad():
+        t_masks, t_ious, t_tokens, t_obj = tnet.mask_decoder(
+            torch.from_numpy(feat.transpose(0, 3, 1, 2)), t_pe,
+            t_sparse, t_dense,
+            high_res_features=[
+                torch.from_numpy(s0.transpose(0, 3, 1, 2)),
+                torch.from_numpy(s1.transpose(0, 3, 1, 2))])
+
+    def run_decoder(mdl, f, sp, s0, s1):
+        pe = mdl.prompt_encoder.get_dense_pe_layer()
+        dense = jnp.broadcast_to(
+            mdl.prompt_encoder.no_mask_embed.reshape(1, 1, 1, -1), f.shape)
+        return mdl.mask_decoder(f, pe, sp, dense,
+                                high_res_features=(s0, s1))
+
+    j_masks, j_ious, j_tokens, j_obj = jnet.apply(
+        v, jnp.asarray(feat), j_sparse, jnp.asarray(s0), jnp.asarray(s1),
+        method=run_decoder)
+    np.testing.assert_allclose(t_masks.detach().numpy(), np.asarray(j_masks),
+                               atol=3e-3)
+    # reference applies sigmoid to iou preds inside the decoder
+    np.testing.assert_allclose(
+        t_ious.detach().numpy(),
+        np.asarray(jnp.squeeze(jax.nn.sigmoid(j_ious), ())), atol=2e-4)
+    np.testing.assert_allclose(t_obj.detach().numpy(), np.asarray(j_obj), atol=2e-4)
