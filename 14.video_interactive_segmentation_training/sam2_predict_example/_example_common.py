@@ -61,8 +61,11 @@ def build_stream_model(network, checkpoint, resize_probe_prompts):
                                if f.name not in ("parent", "name")})
     load_state_dict(checkpoint, model)
     resize = model.image_size
+    # 2-frame init: the tracked-frame path (memory attention, pointer
+    # time projection, mask-prompt downsample) must be traced so its
+    # params exist before the per-frame jitted step functions run
     variables = model.init({"params": jax.random.PRNGKey(0)},
-                           jnp.zeros((1, 1, resize, resize, 3)),
+                           jnp.zeros((1, 2, resize, resize, 3)),
                            resize_probe_prompts)
     variables = dict(variables)
     variables["params"] = apply_pretrained(model, variables["params"])

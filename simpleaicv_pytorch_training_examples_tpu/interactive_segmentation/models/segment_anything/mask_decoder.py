@@ -73,10 +73,12 @@ class MaskDecoder(nn.Module):
         src = src.reshape(b, h, w, c)
         x = nn.ConvTranspose(c // 4, (2, 2), strides=(2, 2),
                              dtype=self.dtype, name="upscale_conv1")(src)
-        x = nn.gelu(LayerNorm2d(name="upscale_ln")(x))
+        # exact (erf) gelu: torch nn.GELU default (weight-import parity)
+        x = nn.gelu(LayerNorm2d(name="upscale_ln")(x), approximate=False)
         x = nn.gelu(nn.ConvTranspose(c // 8, (2, 2), strides=(2, 2),
                                      dtype=self.dtype,
-                                     name="upscale_conv2")(x))
+                                     name="upscale_conv2")(x),
+                    approximate=False)
 
         hyper_in = jnp.stack([
             MLP(c, c // 8, 3, self.dtype, name=f"hyper_mlp_{i}")(

@@ -132,8 +132,10 @@ class PromptEncoder(nn.Module):
             masks = jnp.zeros((batch, 4 * s, 4 * s, 1), jnp.float32)
             masks_valid = jnp.zeros((batch,), jnp.float32)
         x = self.mask_conv1(masks.astype(self.dtype))
-        x = nn.gelu(self.mask_ln1(x))
-        x = nn.gelu(self.mask_ln2(self.mask_conv2(x)))
+        # exact gelu: torch nn.GELU (weight-import parity)
+        x = nn.gelu(self.mask_ln1(x), approximate=False)
+        x = nn.gelu(self.mask_ln2(self.mask_conv2(x)),
+                    approximate=False)
         dense = self.mask_conv3(x)
         no_mask = jnp.broadcast_to(
             self.no_mask_embed.reshape(1, 1, 1, -1),

@@ -135,7 +135,7 @@ class DINOv3Block(nn.Module):
                          kernel_init=trunc_normal(0.02), name="mlp_fc1")(h)
             h = nn.Dense(c, dtype=self.dtype,
                          kernel_init=trunc_normal(0.02),
-                         name="mlp_fc2")(nn.gelu(h))
+                         name="mlp_fc2")(nn.gelu(h, approximate=False))
         else:
             h = SwiGLUFFN(int(c * self.ffn_ratio), self.dtype,
                           name="swiglu")(h)

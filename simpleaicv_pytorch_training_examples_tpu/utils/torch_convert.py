@@ -16,6 +16,7 @@ import numpy as np
 
 __all__ = ["convert_resnet_state_dict", "convert_vit_state_dict",
            "convert_van_state_dict", "convert_convformer_state_dict",
+           "convert_dinov3_vit_state_dict",
            "convert_sam_encoder_state_dict",
            "convert_sam2_encoder_state_dict", "convert_sam2_state_dict",
            "merge_converted"]
@@ -374,6 +375,70 @@ def convert_sam2_encoder_state_dict(sd):
     return params, {}
 
 
+def convert_dinov3_vit_state_dict(sd):
+    """Reference DINOv3 RoPE ViT (detection/models/backbones/dinov3vit.py
+    naming: patch_embed.proj / rope_embed.periods / blocks.{i}.{norm1,
+    attn.{qkv,proj},ls1,norm2,mlp.{fc1,fc2} or mlp.{w1,w2,w3},ls2} /
+    norm) -> this framework's DinoVisionTransformer (patch_embedding /
+    block_{i}.{norm1,attn.{qkv,proj},ls1,norm2,mlp_fc1,mlp_fc2 or
+    swiglu.{w12,w3},ls2} / norm).
+
+    The reference qkv uses LinearKMaskedBias (bias_mask zeroes the k-bias
+    third); the mask is folded into the converted bias so our plain Dense
+    is numerically identical. rope_embed.periods is a buffer our model
+    recomputes from `rope_base` — the caller should assert it matches
+    (tests/test_torch_parity.py does).
+    """
+    params = {}
+
+    def put_linear(tp, fp):
+        params[f"{fp}.kernel"] = _linear_w(np.asarray(sd[f"{tp}.weight"]))
+        if f"{tp}.bias" in sd:
+            params[f"{fp}.bias"] = np.asarray(sd[f"{tp}.bias"])
+
+    def put_ln(tp, fp):
+        params[f"{fp}.scale"] = np.asarray(sd[f"{tp}.weight"])
+        params[f"{fp}.bias"] = np.asarray(sd[f"{tp}.bias"])
+
+    params["patch_embedding.kernel"] = _conv_w(
+        np.asarray(sd["patch_embed.proj.weight"]))
+    params["patch_embedding.bias"] = np.asarray(
+        sd["patch_embed.proj.bias"])
+
+    block_re = re.compile(r"^blocks\.(\d+)\.")
+    blocks = sorted({int(block_re.match(k).group(1))
+                     for k in sd if block_re.match(k)})
+    for i in blocks:
+        t, f = f"blocks.{i}", f"block_{i}"
+        put_ln(f"{t}.norm1", f"{f}.norm1")
+        put_ln(f"{t}.norm2", f"{f}.norm2")
+        params[f"{f}.attn.qkv.kernel"] = _linear_w(
+            np.asarray(sd[f"{t}.attn.qkv.weight"]))
+        if f"{t}.attn.qkv.bias" in sd:
+            bias = np.asarray(sd[f"{t}.attn.qkv.bias"])
+            if f"{t}.attn.qkv.bias_mask" in sd:
+                bias = bias * np.asarray(sd[f"{t}.attn.qkv.bias_mask"])
+            params[f"{f}.attn.qkv.bias"] = bias
+        put_linear(f"{t}.attn.proj", f"{f}.attn.proj")
+        params[f"{f}.ls1.gamma"] = np.asarray(sd[f"{t}.ls1.gamma"])
+        params[f"{f}.ls2.gamma"] = np.asarray(sd[f"{t}.ls2.gamma"])
+        if f"{t}.mlp.fc1.weight" in sd:
+            put_linear(f"{t}.mlp.fc1", f"{f}.mlp_fc1")
+            put_linear(f"{t}.mlp.fc2", f"{f}.mlp_fc2")
+        else:  # SwiGLU: w1/w2 fuse into our w12, w3 maps directly
+            w1 = _linear_w(np.asarray(sd[f"{t}.mlp.w1.weight"]))
+            w2 = _linear_w(np.asarray(sd[f"{t}.mlp.w2.weight"]))
+            params[f"{f}.swiglu.w12.kernel"] = np.concatenate(
+                [w1, w2], axis=1)
+            if f"{t}.mlp.w1.bias" in sd:
+                params[f"{f}.swiglu.w12.bias"] = np.concatenate(
+                    [np.asarray(sd[f"{t}.mlp.w1.bias"]),
+                     np.asarray(sd[f"{t}.mlp.w2.bias"])])
+            put_linear(f"{t}.mlp.w3", f"{f}.swiglu.w3")
+    put_ln("norm", "norm")
+    return params, {}
+
+
 def _convtranspose_w(w):
     # torch ConvTranspose2d [in, out, kh, kw] -> flax ConvTranspose
     # [kh, kw, in, out]; flax's lax.conv_transpose does NOT flip the
@@ -396,10 +461,8 @@ def convert_sam2_state_dict(sd):
 
     Returns (params_flat, constants_flat) — constants_flat carries the
     prompt encoder's fixed gaussian PE matrix ('constants' collection).
-    Reference-only leaves with no counterpart here are skipped:
-    no_memory_position_encoder (initialized but never read in the
-    reference forward) and mask_downsample (its mask-as-prompt tracking
-    entry, not this model's prompt path).
+    The only reference leaf skipped is no_memory_position_encoder,
+    which is initialized but never read in the reference forward.
     """
     params, constants = {}, {}
     enc_params, _ = convert_sam2_encoder_state_dict(sd)
@@ -439,6 +502,11 @@ def convert_sam2_state_dict(sd):
     put_mlp("object_pointer_projection", "object_pointer_projection")
     put_linear("object_pointer_time_position_projection",
                "object_pointer_time_position_projection")
+    if "mask_downsample.weight" in sd:  # mask-as-prompt tracking conv
+        params["mask_downsample_kernel"] = _conv_w(
+            np.asarray(sd["mask_downsample.weight"]))
+        params["mask_downsample_bias"] = np.asarray(
+            sd["mask_downsample.bias"])
 
     # ---- prompt encoder
     constants["prompt_encoder.pe_layer."

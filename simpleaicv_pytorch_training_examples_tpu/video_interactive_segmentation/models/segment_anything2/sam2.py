@@ -203,6 +203,16 @@ class SAM2Video(nn.Module):
         # the memory bank carries an explicit "object gone" signal
         self.no_object_embedding_spatial = self.param(
             "no_object_embedding_spatial", init, (1, self.memory_planes))
+        # learned 4x4/s4 downsample for mask-as-prompt tracking (reference
+        # sam2video_train.py:151 mask_downsample, used by
+        # use_mask_as_output :559-590). Declared as raw params (not
+        # nn.Conv) so they exist in every init, including the training
+        # forward that never traces the mask-prompt path.
+        conv_init = nn.initializers.lecun_normal()
+        self.mask_downsample_kernel = self.param(
+            "mask_downsample_kernel", conv_init, (4, 4, 1, 1))
+        self.mask_downsample_bias = self.param(
+            "mask_downsample_bias", nn.initializers.zeros, (1,))
         self.object_pointer_projection = MLP(
             self.fpn_planes, self.fpn_planes, 3, self.dtype,
             name="object_pointer_projection")
@@ -454,6 +464,44 @@ class SAM2Video(nn.Module):
             is_cond=jnp.bool_(False) if is_cond is None else is_cond,
             obj_logits=obj)
         return (masks, ious, obj), carry
+
+    def add_mask_frame(self, feat, mask, carry, highres=None):
+        """Prompt a frame with a full mask instead of points/boxes
+        (reference use_mask_as_output, sam2video_train.py:559-590): the
+        given mask IS the output (logits mask*20-10, iou 1); the decoder
+        runs on the learned-downsampled mask prompt only to harvest the
+        object pointer and occlusion score; memory encodes the given
+        mask. mask: [B, H, W] float {0,1} at input resolution."""
+        b = feat.shape[0]
+        m = mask.astype(jnp.float32)
+        small = jax.lax.conv_general_dilated(
+            m[..., None], self.mask_downsample_kernel, (4, 4), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) \
+            + self.mask_downsample_bias
+        prompts = {
+            "prompt_point": jnp.full((b, 1, 3), -1.0),
+            "prompt_box": jnp.zeros((b, 4)),
+            "prompt_box_valid": jnp.zeros((b,)),
+            "prompt_mask": small,
+            "prompt_mask_valid": jnp.ones((b,)),
+        }
+        _, _, obj, pointer, _ = self._decode_frame(feat, prompts,
+                                                   highres=highres)
+        # reference gates on the downsampled mask's occupancy (:584-588)
+        is_obj = jnp.any(small.reshape(b, -1) > 0.0,
+                         axis=1).astype(pointer.dtype)[:, None]
+        pointer = is_obj * pointer + \
+            (1.0 - is_obj) * self.no_object_pointer[0]
+        s4 = self.image_size // 4
+        best_mask = jax.image.resize(m, (b, s4, s4), "nearest") * 20.0 \
+            - 10.0
+        carry = self._write_memory(carry, feat, best_mask, pointer,
+                                   is_cond=jnp.bool_(True), obj_logits=obj)
+        n_masks = self.mask_decoder.num_multimask_outputs + 1
+        masks_up = jnp.broadcast_to(
+            (m * 20.0 - 10.0)[:, None],
+            (b, n_masks, self.image_size, self.image_size))
+        return (masks_up, jnp.ones((b, n_masks)), obj), carry
 
     def add_prompt_frame(self, feat, prompts, carry, highres=None):
         """Add a new prompted (condition) frame mid-stream (reference

@@ -34,6 +34,9 @@ class SAM2Image(nn.Module):
     sigmoid_out: bool = False
     binary_mask_out: bool = False
     mask_threshold: float = 0.0
+    # stride-4/8 FPN skips into the decoder upscaling (reference
+    # sam2image.py conv_s0/conv_s1 path)
+    use_high_res_features: bool = False
     use_gradient_checkpoint: bool = False
     image_encoder_type: str = "hiera"
     dtype: Any = jnp.float32
@@ -58,17 +61,27 @@ class SAM2Image(nn.Module):
         self.prompt_encoder = PromptEncoder(
             image_size=self.image_size, patch_size=16,
             embedding_planes=self.fpn_planes, dtype=self.dtype)
-        self.mask_decoder = SAM2MaskDecoder(inplanes=self.fpn_planes,
-                                            dtype=self.dtype)
+        self.mask_decoder = SAM2MaskDecoder(
+            inplanes=self.fpn_planes,
+            use_high_res_features=self.use_high_res_features,
+            dtype=self.dtype)
 
     def forward_image_encoder(self, batch_images):
+        """-> feat16, or (feat16, (feat_s4, feat_s8)) with
+        use_high_res_features."""
+        b = batch_images.shape[0]
         s16 = self.image_size // 16
         features, _ = self.image_encoder(batch_images)
-        return features[-1].reshape(batch_images.shape[0], s16, s16,
-                                    self.fpn_planes)
+        feat = features[-1].reshape(b, s16, s16, self.fpn_planes)
+        if self.use_high_res_features:
+            s4, s8 = self.image_size // 4, self.image_size // 8
+            return feat, (features[0].reshape(b, s4, s4, self.fpn_planes),
+                          features[1].reshape(b, s8, s8, self.fpn_planes))
+        return feat
 
     def forward_prompt_encoder_mask_decoder(self, batch_image_embeddings,
-                                            batch_prompts):
+                                            batch_prompts,
+                                            high_res_features=None):
         sparse, dense = self.prompt_encoder(
             batch_prompts.get("prompt_point"),
             batch_prompts.get("prompt_box"),
@@ -77,7 +90,8 @@ class SAM2Image(nn.Module):
             masks_valid=batch_prompts.get("prompt_mask_valid"))
         image_pe = self.prompt_encoder.get_dense_pe_layer()
         mask_preds, iou_preds, _, obj_logits = self.mask_decoder(
-            batch_image_embeddings, image_pe, sparse, dense)
+            batch_image_embeddings, image_pe, sparse, dense,
+            high_res_features=high_res_features)
         b, t = mask_preds.shape[0], mask_preds.shape[1]
         mask_preds = jax.image.resize(
             mask_preds, (b, t, self.image_size, self.image_size),
@@ -90,9 +104,13 @@ class SAM2Image(nn.Module):
         return mask_preds, iou_preds, obj_logits
 
     def __call__(self, batch_images, batch_prompts):
-        embeddings = self.forward_image_encoder(batch_images)
+        out = self.forward_image_encoder(batch_images)
+        if self.use_high_res_features:
+            embeddings, highres = out
+            return self.forward_prompt_encoder_mask_decoder(
+                embeddings, batch_prompts, high_res_features=highres)
         return self.forward_prompt_encoder_mask_decoder(
-            embeddings, batch_prompts)
+            out, batch_prompts)
 
 
 _SIZES = {

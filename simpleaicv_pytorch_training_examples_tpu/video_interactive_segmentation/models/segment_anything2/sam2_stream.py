@@ -8,7 +8,8 @@ forward_tracking_for_test:385) and walks frames eagerly.
 
 TPU re-design: tracking state is an explicit fixed-shape pytree carry
 (the same validity-masked ring buffers the training model uses), and each
-of encode_frame / start_track / track_frame / add_prompt_frame is one
+of encode_frame / start_track / track_frame / add_prompt_frame /
+add_mask_frame (mask-as-prompt, reference use_mask_as_output) is one
 jittable function of (variables, carry) -> (outputs, carry). A video of
 any length streams through a handful of compiled programs with zero
 recompilation and zero host state. The step methods live on SAM2Video

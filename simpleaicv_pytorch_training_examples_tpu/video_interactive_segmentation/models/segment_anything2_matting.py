@@ -220,12 +220,21 @@ class SAM2VideoMatting(_SAM2MattingBase):
             (self.memory_mask_nums, self.memory_planes))
         self.no_object_pointer = self.param(
             "no_object_pointer", init, (1, self.fpn_planes))
+        # occlusion signal into stored memories (reference
+        # sam2videomatting_train.py no_object_embedding_spatial)
+        self.no_object_embedding_spatial = self.param(
+            "no_object_embedding_spatial", init, (1, self.memory_planes))
         self.object_pointer_projection = MLP(
             self.fpn_planes, self.fpn_planes, 3, self.dtype,
             name="object_pointer_projection")
         self.object_pointer_time_position_projection = nn.Dense(
             self.memory_planes, dtype=self.dtype,
             name="object_pointer_time_position_projection")
+
+    def _occlusion_gate(self, mem, obj_logits):
+        is_obj = (obj_logits[:, 0] > 0).astype(mem.dtype)
+        return mem + (1.0 - is_obj)[:, None, None, None] * \
+            self.no_object_embedding_spatial[0]
 
     def _pointer(self, token, obj_logits):
         pointer = self.object_pointer_projection(token)
@@ -274,6 +283,7 @@ class SAM2VideoMatting(_SAM2MattingBase):
             feat16[:, 0], p0)
         ptr0 = self._pointer(tok0, obj0)
         mem_feat0, mem_pos0 = self.memory_encoder(feat16[:, 0], f0)
+        mem_feat0 = self._occlusion_gate(mem_feat0, obj0)
 
         s_mem = self.memory_mask_nums
         mem_feats = jnp.zeros((s_mem, b, n_mem, self.memory_planes))
@@ -352,6 +362,7 @@ class SAM2VideoMatting(_SAM2MattingBase):
             all_obj.append(obj_logits)
 
             new_mem, new_mem_pos = self.memory_encoder(feat, f)
+            new_mem = self._occlusion_gate(new_mem, obj_logits)
             is_cond_t = cond[frame_idx] > 0
             slot = jnp.where(
                 is_cond_t,

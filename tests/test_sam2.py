@@ -207,3 +207,66 @@ def test_video_train_tool_loss_fn_condition_recipe():
     assert np.isfinite(float(loss))
     gsum = sum(float(jnp.abs(g).sum()) for g in jax.tree.leaves(grads))
     assert np.isfinite(gsum) and gsum > 0
+
+
+def test_sam2_mask_frame_prompting():
+    """Mask-as-prompt tracking (reference use_mask_as_output): the mask
+    frame's outputs ARE the given mask (logits m*20-10, iou 1), memory is
+    seeded from it, and subsequent tracked frames decode finitely."""
+    import jax
+    import jax.numpy as jnp
+
+    model = _tiny_sam2()
+    b = 1
+    # 2-frame init so the tracked-frame params (pointer time projection)
+    # are created alongside the mask-prompt params
+    images = jnp.zeros((b, 2, 128, 128, 3), jnp.float32)
+    prompts = {"prompt_point": jnp.asarray([[[40.0, 40.0, 1.0]]]),
+               "prompt_box": None, "prompt_mask": None}
+    variables = model.init(jax.random.PRNGKey(0), images, prompts)
+
+    gt = jnp.zeros((b, 128, 128), jnp.float32).at[:, 30:70, 30:70].set(1.0)
+    img = jnp.asarray(np.random.RandomState(0).rand(b, 128, 128, 3),
+                      jnp.float32)
+
+    def run(mdl, img, gt):
+        feat, pos = mdl.encode_frame(img)
+        carry = mdl._empty_carry(b)
+        (masks, ious, obj), carry = mdl.add_mask_frame(feat, gt, carry)
+        out2, carry = mdl.track_frame(feat, pos, carry)
+        return masks, ious, carry, out2
+
+    masks, ious, carry, out2 = model.apply(variables, img, gt, method=run)
+    # outputs echo the mask as +-10 logits
+    assert masks.shape == (b, 4, 128, 128)
+    np.testing.assert_allclose(np.asarray(masks[0, 0]),
+                               np.asarray(gt[0]) * 20.0 - 10.0)
+    np.testing.assert_allclose(np.asarray(ious), 1.0)
+    # memory seeded: one valid slot, pointer bank seeded
+    assert float(carry["mem_valid"].sum()) >= 1.0
+    assert float(carry["ptr_valid"].sum()) >= 1.0
+    m2 = np.asarray(out2[0])
+    assert np.isfinite(m2).all()
+
+
+def test_sam2_high_res_features_decode():
+    """use_high_res_features threads stride-4/8 FPN skips end-to-end
+    through the video forward (scan and loop paths agree)."""
+    import jax
+    import jax.numpy as jnp
+
+    b, t = 1, 2
+    images = jnp.asarray(np.random.RandomState(1).rand(b, t, 128, 128, 3),
+                         jnp.float32)
+    prompts = {"prompt_point": jnp.asarray([[[40.0, 40.0, 1.0]]]),
+               "prompt_box": None, "prompt_mask": None}
+    loop = _tiny_sam2(use_high_res_features=True)
+    variables = loop.init(jax.random.PRNGKey(0), images, prompts)
+    assert "conv_s0" in variables["params"]["mask_decoder"]
+    m1, i1, o1 = loop.apply(variables, images, prompts)
+    assert m1.shape == (b, t, 4, 128, 128)
+
+    scan = _tiny_sam2(use_high_res_features=True, use_scan=True)
+    m2, i2, o2 = scan.apply(variables, images, prompts)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(i1), np.asarray(i2), atol=1e-5)

@@ -367,3 +367,60 @@ def test_sam2_prompt_and_mask_decoder_parity(sam2_pair):
         t_ious.detach().numpy(),
         np.asarray(jnp.squeeze(jax.nn.sigmoid(j_ious), ())), atol=2e-4)
     np.testing.assert_allclose(t_obj.detach().numpy(), np.asarray(j_obj), atol=2e-4)
+
+
+def test_dinov3_vit_feature_parity_with_reference():
+    """Same converted weights -> same grid features for the DINOv3 RoPE
+    ViT (incl. the k-bias mask fold and the periods-buffer match)."""
+    import types
+    # the reference detection package imports torchvision at module scope;
+    # only transforms' name is touched at import time — stub it
+    for name in ("torchvision", "torchvision.transforms",
+                 "torchvision.ops"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    sys.modules["torchvision"].transforms = \
+        sys.modules["torchvision.transforms"]
+    sys.path.insert(0, REFERENCE)
+    import importlib
+    import torch
+    ref = importlib.import_module(
+        "SimpleAICV.detection.models.backbones.dinov3vit")
+
+    torch.manual_seed(0)
+    tnet = ref._dinov3vitbackbone(
+        patch_size=16, embedding_planes=64,
+        pos_embed_rope_normalize_coords="separate",
+        pos_embed_rope_rescale_coords=2, block_nums=2, head_nums=2,
+        ffn_ratio=4, qkv_bias=True, ffn_layer="mlp").eval()
+    sd = tnet.state_dict()
+
+    import jax
+    import jax.numpy as jnp
+    from simpleaicv_pytorch_training_examples_tpu.models.backbones.dinov3_vit import (
+        DinoVisionTransformer, rope_sincos)
+    from simpleaicv_pytorch_training_examples_tpu.utils.torch_convert import (
+        convert_dinov3_vit_state_dict, merge_converted)
+
+    # the checkpoint's periods buffer must equal our base-formula periods
+    d4 = (64 // 2) // 4
+    periods = 100.0**(2 * np.arange(d4) / (64 // 2 // 2))
+    np.testing.assert_allclose(sd["rope_embed.periods"].numpy(), periods,
+                               rtol=1e-6)
+
+    jnet = DinoVisionTransformer(16, 64, 2, 2, ffn_layer="mlp")
+    v = jnet.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    pf, _ = convert_dinov3_vit_state_dict(sd)
+    params, _ = merge_converted(v["params"], {}, pf, {})
+
+    x = np.random.RandomState(0).rand(1, 64, 64, 3).astype(np.float32)
+    with torch.no_grad():
+        t_out = tnet(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    t_out = (t_out[-1] if isinstance(t_out, (list, tuple)) else
+             t_out).detach().numpy()
+    j_out = np.asarray(jnet.apply({"params": params}, jnp.asarray(x)))
+    if t_out.shape != j_out.shape:
+        if t_out.ndim == 4 and t_out.shape[1] == j_out.shape[-1]:
+            t_out = t_out.transpose(0, 2, 3, 1)
+        else:
+            t_out = t_out.reshape(j_out.shape)
+    np.testing.assert_allclose(t_out, j_out, atol=3e-5)
