@@ -46,6 +46,36 @@ def rope_sincos(h, w, head_planes, base=100.0):
             jnp.asarray(np.cos(angles), jnp.float32))
 
 
+def rope_sincos_augmented(h, w, head_planes, base, rng, shift_coords=None,
+                          jitter_coords=None, rescale_coords=None):
+    """Train-time RoPE tables with randomized coords (reference
+    RopePositionEmbedding forward, dinov3vit.py:230-253: uniform shift,
+    log-uniform per-axis jitter, log-uniform isotropic rescale)."""
+    d4 = head_planes // 4
+    periods = jnp.asarray(base**(2 * np.arange(d4) / (head_planes // 2)),
+                          jnp.float32)
+    coords_h = (jnp.arange(0.5, h) / h) * 2.0 - 1.0
+    coords_w = (jnp.arange(0.5, w) / w) * 2.0 - 1.0
+    gh, gw = jnp.meshgrid(coords_h, coords_w, indexing="ij")
+    coords = jnp.stack([gh, gw], axis=-1).reshape(-1, 2)
+    k_shift, k_jitter, k_rescale = jax.random.split(rng, 3)
+    if shift_coords is not None:
+        coords = coords + jax.random.uniform(
+            k_shift, (2,), minval=-shift_coords, maxval=shift_coords)[None]
+    if jitter_coords is not None:
+        a = math.log(jitter_coords)
+        coords = coords * jnp.exp(jax.random.uniform(
+            k_jitter, (2,), minval=-a, maxval=a))[None]
+    if rescale_coords is not None:
+        a = math.log(rescale_coords)
+        coords = coords * jnp.exp(jax.random.uniform(
+            k_rescale, (1,), minval=-a, maxval=a))
+    angles = 2 * math.pi * coords[:, :, None] / periods[None, None, :]
+    angles = angles.reshape(-1, 2 * d4)
+    angles = jnp.tile(angles, (1, 2))
+    return jnp.sin(angles), jnp.cos(angles)
+
+
 def rope_rotate_half(x):
     half = x.shape[-1] // 2
     return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
@@ -151,6 +181,12 @@ class DinoVisionTransformer(nn.Module):
     ffn_layer: str = "mlp"
     layerscale_init: float = 1e-5
     rope_base: float = 100.0
+    # train-time RoPE coordinate augmentation (reference
+    # pos_embed_rope_rescale_coords=2 in every dinov3 factory,
+    # dinov3vit.py:606-618; shift/jitter stay off there)
+    rope_shift_coords: Optional[float] = None
+    rope_jitter_coords: Optional[float] = None
+    rope_rescale_coords: Optional[float] = 2.0
     use_gradient_checkpoint: bool = False
     dtype: Any = jnp.float32
 
@@ -182,7 +218,20 @@ class DinoVisionTransformer(nn.Module):
                     name="patch_embedding")(x)
         h, w = x.shape[1], x.shape[2]
         x = x.reshape(b, h * w, self.embedding_planes)
-        rope = self.rope_for(h, w)
+        rope_aug = (self.rope_shift_coords or self.rope_jitter_coords
+                    or self.rope_rescale_coords)
+        if train and rope_aug is not None and (
+                self.has_rng("rope") or self.has_rng("dropout")):
+            rng = self.make_rng("rope") if self.has_rng("rope") \
+                else self.make_rng("dropout")
+            rope = rope_sincos_augmented(
+                h, w, self.embedding_planes // self.head_nums,
+                self.rope_base, rng,
+                shift_coords=self.rope_shift_coords,
+                jitter_coords=self.rope_jitter_coords,
+                rescale_coords=self.rope_rescale_coords)
+        else:
+            rope = self.rope_for(h, w)
 
         block_cls = DINOv3Block
         if self.use_gradient_checkpoint:

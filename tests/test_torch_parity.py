@@ -424,3 +424,29 @@ def test_dinov3_vit_feature_parity_with_reference():
         else:
             t_out = t_out.reshape(j_out.shape)
     np.testing.assert_allclose(t_out, j_out, atol=3e-5)
+
+
+def test_dinov3_rope_train_augmentation():
+    """Train-time RoPE coordinate rescale (reference
+    pos_embed_rope_rescale_coords=2, applied only under self.training):
+    augmented tables differ per rng and from the static tables; eval
+    path stays the deterministic static table."""
+    import jax
+    import jax.numpy as jnp
+    from simpleaicv_pytorch_training_examples_tpu.models.backbones.dinov3_vit import (
+        rope_sincos, rope_sincos_augmented)
+
+    s0, c0 = rope_sincos(4, 4, 32)
+    s1, _ = rope_sincos_augmented(4, 4, 32, 100.0, jax.random.PRNGKey(1),
+                                  rescale_coords=2.0)
+    s2, _ = rope_sincos_augmented(4, 4, 32, 100.0, jax.random.PRNGKey(2),
+                                  rescale_coords=2.0)
+    s1b, _ = rope_sincos_augmented(4, 4, 32, 100.0, jax.random.PRNGKey(1),
+                                   rescale_coords=2.0)
+    assert float(jnp.abs(s1 - s0).max()) > 1e-3
+    assert float(jnp.abs(s1 - s2).max()) > 1e-3
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s1b))
+    # no augmentation args -> exactly the static table
+    s3, c3 = rope_sincos_augmented(4, 4, 32, 100.0, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(np.asarray(s3), np.asarray(s0), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c3), np.asarray(c0), atol=1e-6)
