@@ -1,2 +1,2 @@
 #!/usr/bin/env bash
-python ../../../../tools/train_video_interactive_segmentation_distill_encoder_model.py --work-dir "$(dirname "$0")"
+python ../../../tools/train_video_interactive_segmentation_distill_encoder_model.py --work-dir "$(dirname "$0")"

@@ -111,13 +111,24 @@ def make_train_step(model,
                     skip_inf_nan_grad: bool = True,
                     compute_dtype=jnp.bfloat16,
                     loss_fn: Optional[Callable] = None,
-                    donate: bool = True):
+                    donate: bool = True,
+                    opt_state_shardings=None,
+                    param_shardings=None):
     """Build the jitted train step.
 
     loss_fn overrides the default `criterion(model(image), label)` wiring for
     tasks with richer batches; signature
     ``loss_fn(apply_fn, params, variables, batch, rng) ->
     (loss, (new_variables, loss_dict))``.
+
+    opt_state_shardings (optional): a NamedSharding pytree matching the
+    optax state — e.g. parallel.zero1_opt_state_sharding — constrained
+    onto the new optimizer state each step so the moment tensors stay
+    sharded over the data axis (ZeRO-1) instead of replicated.
+    param_shardings (optional, required with opt_state_shardings): the
+    params' own shardings, re-constrained onto the updated params so the
+    data-sharded updates all-gather back instead of leaking their
+    sharding onto the weights.
     """
 
     has_stats = None  # resolved at trace time from state.variables
@@ -198,6 +209,12 @@ def make_train_step(model,
 
         new_params = pick(new_params, state.params)
         new_opt_state = pick(new_opt_state, state.opt_state)
+        if opt_state_shardings is not None:
+            new_opt_state = jax.lax.with_sharding_constraint(
+                new_opt_state, opt_state_shardings)
+        if param_shardings is not None:
+            new_params = jax.lax.with_sharding_constraint(
+                new_params, param_shardings)
         new_vars = pick(new_vars, state.variables)
 
         new_ema = state.ema_params

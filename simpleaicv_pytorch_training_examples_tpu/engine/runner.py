@@ -122,8 +122,22 @@ def run_training(config, work_dir: str, *,
             f"wd={group.get('weight_decay')} n={len(group['name'])}")
 
     use_ema = getattr(config, "use_ema_model", False)
+    opt_state = tx.init(params)
+    # ZeRO-1: shard the optimizer moments over the data axis — cuts the
+    # Adam-class optimizer memory per chip by the DP degree
+    opt_shardings, param_shardings = None, None
+    if getattr(config, "use_zero1", False):
+        from ..parallel.mesh import zero1_opt_state_sharding
+        opt_shardings = zero1_opt_state_sharding(opt_state, mesh)
+        opt_state = jax.tree.map(jax.device_put, opt_state, opt_shardings)
+        from jax.sharding import NamedSharding
+        rep = replicated_sharding(mesh)
+        param_shardings = jax.tree.map(
+            lambda p: p.sharding if isinstance(p.sharding, NamedSharding)
+            else rep, params)
+        log("zero1: optimizer state sharded over the data axis")
     state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
-                       variables=variables, opt_state=tx.init(params),
+                       variables=variables, opt_state=opt_state,
                        ema_params=ema_init(params) if use_ema else None)
 
     loss_fn = build_loss_fn(model, config) if build_loss_fn else None
@@ -138,7 +152,9 @@ def run_training(config, work_dir: str, *,
         clip_grad_value=getattr(config, "clip_grad_value", 0.0),
         skip_inf_nan_grad=getattr(config, "skip_inf_nan_grad", True),
         compute_dtype=compute_dtype,
-        loss_fn=loss_fn)
+        loss_fn=loss_fn,
+        opt_state_shardings=opt_shardings,
+        param_shardings=param_shardings)
 
     evaluator = None
     if build_eval:
@@ -153,6 +169,9 @@ def run_training(config, work_dir: str, *,
                     "train_hours": 0.0}
         restored = store.restore_latest(abstract)
         state = jax.device_put(restored["state"], replicated_sharding(mesh))
+        if opt_shardings is not None:
+            state = state.replace(opt_state=jax.tree.map(
+                jax.device_put, restored["state"].opt_state, opt_shardings))
         start_epoch = int(restored["epoch"]) + 1
         best_metric = float(restored["best_metric"])
         train_hours = float(restored["train_hours"])

@@ -116,11 +116,27 @@ def main():
             f"n={len(group['name'])}")
 
     use_ema = getattr(config, "use_ema_model", False)
+    opt_state = tx.init(params)
+    # ZeRO-1 (config.use_zero1): Adam moments sharded over the data axis
+    opt_shardings, param_shardings = None, None
+    if getattr(config, "use_zero1", False):
+        from simpleaicv_pytorch_training_examples_tpu.parallel.mesh import (
+            zero1_opt_state_sharding)
+        opt_shardings = zero1_opt_state_sharding(opt_state, mesh)
+        opt_state = jax.tree.map(jax.device_put, opt_state, opt_shardings)
+        from jax.sharding import NamedSharding
+        from simpleaicv_pytorch_training_examples_tpu.parallel import (
+            replicated_sharding)
+        rep = replicated_sharding(mesh)
+        param_shardings = jax.tree.map(
+            lambda p: p.sharding if isinstance(p.sharding, NamedSharding)
+            else rep, params)
+        log("zero1: optimizer state sharded over the data axis")
     state = TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         variables=variables,
-        opt_state=tx.init(params),
+        opt_state=opt_state,
         ema_params=ema_init(params) if use_ema else None)
 
     accumulation_steps = getattr(config, "accumulation_steps", 1)
@@ -132,7 +148,9 @@ def main():
         clip_max_norm=getattr(config, "clip_max_norm", 0.0),
         clip_grad_value=getattr(config, "clip_grad_value", 0.0),
         compute_dtype=jnp.bfloat16 if getattr(config, "use_amp", True)
-        else jnp.float32)
+        else jnp.float32,
+        opt_state_shardings=opt_shardings,
+        param_shardings=param_shardings)
     eval_step = make_classification_eval_step(
         model, compute_dtype=jnp.bfloat16 if getattr(config, "use_amp", True)
         else jnp.float32)
@@ -150,6 +168,9 @@ def main():
         from simpleaicv_pytorch_training_examples_tpu.parallel import (
             replicated_sharding)
         state = jax.device_put(restored["state"], replicated_sharding(mesh))
+        if opt_shardings is not None:
+            state = state.replace(opt_state=jax.tree.map(
+                jax.device_put, state.opt_state, opt_shardings))
         start_epoch = int(restored["epoch"]) + 1
         best_acc = float(restored["best_acc"])
         train_hours = float(restored["train_hours"])
