@@ -239,3 +239,102 @@ def test_ragged_eval_batch_shards_on_mesh():
                         jnp.asarray(batch["image"]), train=False)
     np.testing.assert_allclose(real_logits, np.asarray(exact), rtol=2e-4,
                                atol=2e-4)
+
+
+def test_semantic_seg_synthetic_overfit():
+    """PFAN semantic segmentation (resnet18, 64^2, 5 classes) overfits a
+    fixed synthetic label map: CE+dice loss drops to < 30% of its start
+    within 40 steps."""
+    import jax
+    import jax.numpy as jnp
+    from simpleaicv_pytorch_training_examples_tpu.engine import init_model
+    from simpleaicv_pytorch_training_examples_tpu.semantic_segmentation import (
+        losses, models)
+
+    model = models.resnet18_pfan_semantic_segmentation(num_classes=5)
+    params, variables = init_model(model, (1, 64, 64, 3),
+                                   jax.random.PRNGKey(0))
+    ce = losses.CELoss()
+    dice = losses.DiceLoss()
+
+    rs = np.random.RandomState(0)
+    images = rs.rand(2, 64, 64, 3).astype(np.float32)
+    labels = np.zeros((2, 64, 64), np.int32)
+    labels[:, 10:40, 10:40] = 1
+    labels[:, 45:60, 5:30] = 3
+    batch = {"image": jnp.asarray(images), "label": jnp.asarray(labels)}
+
+    def loss_fn(params, variables, batch, rng):
+        preds, new_vars = model.apply(
+            {"params": params, **variables}, batch["image"], train=True,
+            mutable=list(variables.keys()))
+        loss = ce(preds, batch["label"]) + dice(preds, batch["label"])
+        return loss, (dict(new_vars), {"loss": loss})
+
+    state, step = _make_train_bits(model, loss_fn, params, variables,
+                                   lr=2e-3)
+    rng = jax.random.PRNGKey(1)
+    first = None
+    for _ in range(80):
+        state, metrics = step(state, batch, rng)
+        if first is None:
+            first = float(metrics["loss"])
+    last = float(metrics["loss"])
+    assert np.isfinite(last)
+    assert last < 0.25 * first, (first, last)
+    # the overfit net segments the synthetic map mostly correctly
+    preds = model.apply({"params": state.params, **state.variables},
+                        batch["image"], train=False)
+    pred_labels = np.asarray(jnp.argmax(preds, axis=-1))
+    acc = (pred_labels == labels).mean()
+    assert acc > 0.9, acc
+
+
+def test_dbnet_synthetic_overfit():
+    """DBNet (resnet18, 128^2) overfits a synthetic text region: the
+    summed probability/threshold/binary losses drop to < 35% of their
+    start within 40 steps."""
+    import jax
+    import jax.numpy as jnp
+    from simpleaicv_pytorch_training_examples_tpu.engine import init_model
+    from simpleaicv_pytorch_training_examples_tpu.text_detection import (
+        losses, models)
+
+    model = models.resnet18_dbnet()
+    params, variables = init_model(model, (1, 128, 128, 3),
+                                   jax.random.PRNGKey(0))
+    criterion = losses.DBNetLoss()
+
+    rs = np.random.RandomState(0)
+    images = rs.rand(2, 128, 128, 3).astype(np.float32)
+    prob_mask = np.zeros((2, 128, 128), np.float32)
+    prob_mask[:, 40:60, 20:100] = 1.0  # a shrunk text kernel
+    thresh_mask = np.zeros((2, 128, 128), np.float32)
+    thresh_mask[:, 35:65, 15:105] = 0.5  # border band target
+    shapes = {
+        "probability_mask": jnp.asarray(prob_mask),
+        "probability_ignore_mask": jnp.ones((2, 128, 128)),
+        "threshold_mask": jnp.asarray(thresh_mask),
+        "threshold_ignore_mask": jnp.ones((2, 128, 128)),
+    }
+    batch = {"image": jnp.asarray(images), "shapes": shapes}
+
+    def loss_fn(params, variables, batch, rng):
+        preds, new_vars = model.apply(
+            {"params": params, **variables}, batch["image"], train=True,
+            mutable=list(variables.keys()))
+        loss_dict = criterion(preds, batch["shapes"])
+        total = sum(loss_dict.values())
+        return total, (dict(new_vars), {"loss": total})
+
+    state, step = _make_train_bits(model, loss_fn, params, variables,
+                                   lr=2e-3)
+    rng = jax.random.PRNGKey(1)
+    first = None
+    for _ in range(80):
+        state, metrics = step(state, batch, rng)
+        if first is None:
+            first = float(metrics["loss"])
+    last = float(metrics["loss"])
+    assert np.isfinite(last)
+    assert last < 0.35 * first, (first, last)
