@@ -78,3 +78,43 @@ def test_sam_split_forward_matches_joint():
     m2, i2 = model.apply(variables, emb, prompts,
                          method="forward_prompt_encoder_mask_decoder")
     np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=1e-5)
+
+
+def test_automatic_mask_generator_runs():
+    """AMG over a tiny SAM: grid-prompt decode, iou/stability filtering
+    and box-NMS produce a coherent mask list on a random-init model with
+    permissive thresholds (reference sam_predict_everything flow)."""
+    import jax
+    import jax.numpy as jnp
+    from simpleaicv_pytorch_training_examples_tpu.interactive_segmentation.automatic_mask_generator import (
+        SAMAutomaticMaskGenerator)
+    from simpleaicv_pytorch_training_examples_tpu.interactive_segmentation.models.segment_anything.sam import (
+        SAM)
+
+    model = SAM(image_size=128, image_encoder_embedding_planes=64,
+                image_encoder_block_nums=2, image_encoder_head_nums=2,
+                image_encoder_global_attn_indexes=(1,),
+                prompt_encoder_embedding_planes=64)
+    b_prompts = {
+        "prompt_point": jnp.asarray([[[40.0, 40.0, 1.0]]]),
+        "prompt_box": jnp.zeros((1, 4)),
+        "prompt_box_valid": jnp.zeros((1,)),
+        "prompt_mask": jnp.zeros((1, 32, 32, 1)),
+        "prompt_mask_valid": jnp.zeros((1,)),
+    }
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 128, 128, 3)), b_prompts)
+    amg = SAMAutomaticMaskGenerator(
+        model, variables, points_per_side=4, points_per_batch=8,
+        pred_iou_thresh=-1e9, stability_score_thresh=-1e9,
+        nms_iou_thresh=0.9, min_mask_area=-1)
+    image = np.random.RandomState(0).rand(128, 128, 3).astype(np.float32)
+    out = amg.generate(image)
+    assert len(out) >= 1
+    m0 = out[0]
+    assert set(m0) == {"mask", "predicted_iou", "stability_score", "bbox",
+                       "area"}
+    assert m0["mask"].shape == (128, 128)
+    assert m0["area"] == int(m0["mask"].sum())
+    # NMS keeps boxes below the overlap threshold pairwise-distinct
+    assert len(out) <= 16
