@@ -31,7 +31,9 @@ class config:
     frame_nums = 4
 
     model = sam2_hiera_base_plus_video_matting(
-        image_size=input_image_size, use_gradient_checkpoint=True)
+        image_size=input_image_size, use_gradient_checkpoint=True,
+        # fused pallas memory attention (1.7-1.8x over XLA on v5e)
+        use_flash_attention=True)
 
     trained_model_path = ""
     load_state_dict(trained_model_path, model)

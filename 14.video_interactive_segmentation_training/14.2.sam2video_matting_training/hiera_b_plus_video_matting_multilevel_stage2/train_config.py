@@ -33,6 +33,8 @@ class config:
 
     model = sam2_hiera_base_plus_video_matting(
         image_size=input_image_size, use_gradient_checkpoint=True,
+        # fused pallas memory attention (1.7-1.8x over XLA on v5e)
+        use_flash_attention=True,
         memory_cond_slots=2)
 
     trained_model_path = ""

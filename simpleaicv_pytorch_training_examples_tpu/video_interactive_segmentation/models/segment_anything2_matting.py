@@ -119,6 +119,9 @@ class _SAM2MattingBase(nn.Module):
     # "hiera" or a DINOv3 backbone registry name (reference
     # dinov3_segment_anything2_matting/dinov3_sam2videomatting_train.py)
     image_encoder_type: str = "hiera"
+    # fused pallas memory attention (TPU only; XLA fallback elsewhere) —
+    # same flag as SAM2Video
+    use_flash_attention: bool = False
     dtype: Any = jnp.float32
 
     def _setup_core(self):
@@ -210,7 +213,7 @@ class SAM2VideoMatting(_SAM2MattingBase):
         self.memory_attention = MemoryAttention(
             inplanes=self.fpn_planes, layer_nums=4,
             feat_sizes=(self.image_size // 16, self.image_size // 16),
-            dtype=self.dtype)
+            use_flash=self.use_flash_attention, dtype=self.dtype)
         self.memory_encoder = MemoryEncoder(inplanes=self.fpn_planes,
                                             planes=self.memory_planes,
                                             dtype=self.dtype)
