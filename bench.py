@@ -82,9 +82,9 @@ def bench_retinanet():
         resnet50_retinanet)
     from simpleaicv_pytorch_training_examples_tpu.engine import init_model
 
-    # measured on chip: bs8 195 img/s, bs16 223, bs32 234 (serving-style
-    # batching; the 4090D anchor is bs16-class)
-    batch_size = 32
+    # measured on chip: bs8 195 img/s, bs16 223, bs32 234, bs48 250,
+    # bs64 249 (serving-style batching; the 4090D anchor is bs16-class)
+    batch_size = 48
     model = resnet50_retinanet(num_classes=80, dtype=jnp.bfloat16)
     params, variables = init_model(model, (1, 1024, 1024, 3),
                                    jax.random.PRNGKey(0))

@@ -185,9 +185,13 @@ def predict_text_recognition(image, network, checkpoint, chars_file=None,
     import jax.numpy as jnp
     from simpleaicv_pytorch_training_examples_tpu.text_recognition import (
         models as rmodels)
+    from simpleaicv_pytorch_training_examples_tpu.text_recognition.char_sets import (
+        FINAL_CHAR_TABLE)
     from simpleaicv_pytorch_training_examples_tpu.text_recognition.common import (
         CTCTextLabelConverter)
-    converter = CTCTextLabelConverter(chars_file=chars_file)
+    # default to the shipped 12,111-char merged table
+    converter = CTCTextLabelConverter(
+        chars_file=chars_file or FINAL_CHAR_TABLE)
     model = rmodels.__dict__[network](num_classes=converter.num_classes)
     h, w = image.shape[:2]
     rw = min(max(1, int(round(w * resize_h / h))), max_w)

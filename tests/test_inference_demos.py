@@ -1,0 +1,47 @@
+"""Inference-demo predictors (inference_demo/_predictors.py) drive
+end-to-end on synthetic images with small random-init models — the
+single-image demo surface that mirrors the reference's
+inference_demo/*.py scripts."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+DEMO = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "inference_demo")
+sys.path.insert(0, DEMO)
+
+
+@pytest.fixture(scope="module")
+def image():
+    return (np.random.RandomState(0).rand(96, 128, 3) * 255).astype(
+        np.uint8)
+
+
+def test_predict_semantic_demo(image):
+    from _predictors import predict_semantic
+
+    class_map = predict_semantic(
+        image, "resnet18_pfan_semantic_segmentation", "", num_classes=7,
+        resize=64)
+    assert class_map.shape == image.shape[:2]
+    assert class_map.max() < 7
+
+
+def test_predict_detection_demo(image):
+    from _predictors import predict_detection
+
+    boxes, scores, classes = predict_detection(
+        image, "resnet18_retinanet", "", num_classes=10, resize=128,
+        score_threshold=0.0)
+    assert boxes.ndim == 2 and boxes.shape[1] == 4
+    assert len(scores) == len(boxes) == len(classes)
+
+
+def test_predict_text_recognition_demo(image):
+    from _predictors import predict_text_recognition
+
+    text = predict_text_recognition(image, "resnet18_ctc_model", "")
+    assert isinstance(text, str)

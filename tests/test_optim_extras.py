@@ -179,3 +179,25 @@ def test_flops_counting():
     assert n_params > 11e6
     # resnet18 @32px forward ~ 0.5 GFLOPs either side
     assert 1e8 < flops < 5e9
+
+
+def test_profiler_trace_and_time_step(tmp_path):
+    """utils/profiler.py: the trace context writes an XPlane capture and
+    time_step returns a sane per-call latency for a jitted fn."""
+    import jax
+    import jax.numpy as jnp
+    from simpleaicv_pytorch_training_examples_tpu.utils.profiler import (
+        time_step, trace)
+
+    @jax.jit
+    def step(x):
+        return (x @ x.T).sum()
+
+    x = jnp.ones((64, 64))
+    with trace(str(tmp_path)):
+        float(step(x))
+    traced = list(tmp_path.rglob("*"))
+    assert any(p.is_file() for p in traced), traced
+
+    dt = time_step(step, x, iters=3, warmup=1)
+    assert 0 < dt < 5.0
