@@ -450,3 +450,85 @@ def test_dinov3_rope_train_augmentation():
     s3, c3 = rope_sincos_augmented(4, 4, 32, 100.0, jax.random.PRNGKey(1))
     np.testing.assert_allclose(np.asarray(s3), np.asarray(s0), atol=1e-6)
     np.testing.assert_allclose(np.asarray(c3), np.asarray(c0), atol=1e-6)
+
+
+def test_convert_cli_sam2_mapping(tmp_path, monkeypatch):
+    """tools/weight_convert CLI --mapping sam2: tiny reference checkpoint
+    -> orbax best tree with params + prompt-encoder constants, loadable
+    by CheckpointStore."""
+    import torch
+
+    sys.path.insert(0, REFERENCE)
+    from SimpleAICV.video_interactive_segmentation.models.segment_anything2.sam2video_train import (
+        _sam2video)
+
+    torch.manual_seed(0)
+    tnet = _sam2video(
+        image_size=128, patch_size=16, image_encoder_embedding_planes=32,
+        image_encoder_head_nums=1, image_encoder_block_nums=[1, 2, 2, 1],
+        image_encoder_window_position_embedding_bkg_spatial_size=[7, 7],
+        image_encoder_window_specification=[4, 2, 7, 2],
+        image_encoder_global_attention_blocks=[3],
+        prompt_encoder_embedding_planes=256)
+    ckpt = tmp_path / "sam2_tiny.pth"
+    torch.save(tnet.state_dict(), str(ckpt))
+
+    # a tiny factory the CLI can resolve by name
+    from simpleaicv_pytorch_training_examples_tpu.video_interactive_segmentation.models.segment_anything2 import (
+        sam2 as sam2_models)
+
+    def _tiny(**kw):
+        kw.setdefault("embedding_planes", 32)
+        kw.setdefault("head_nums", 1)
+        kw.setdefault("block_nums", (1, 2, 2, 1))
+        kw.setdefault("window_specification", (4, 2, 7, 2))
+        kw.setdefault("global_attention_blocks", (3,))
+        return sam2_models.SAM2Video(**kw)
+
+    monkeypatch.setattr(sam2_models, "sam2_tiny_test_video", _tiny,
+                        raising=False)
+
+    tools_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools", "weight_convert")
+    sys.path.insert(0, tools_dir)
+    try:
+        from convert_torch_weight_to_orbax import main as cli_main
+        out = tmp_path / "orbax_out"
+        sys.argv = ["cli", "--torch-ckpt", str(ckpt), "--mapping", "sam2",
+                    "--network", "sam2_tiny_test_video",
+                    "--input-size", "128", "--output", str(out)]
+        cli_main()
+    finally:
+        sys.path.remove(tools_dir)
+
+    import jax
+    import jax.numpy as jnp
+    from simpleaicv_pytorch_training_examples_tpu.utils.checkpoint import (
+        CheckpointStore)
+    store = CheckpointStore(str(out))
+    model = _tiny(image_size=128, use_high_res_features=True)
+    probe = {"prompt_point": jnp.zeros((1, 1, 3)),
+             "prompt_box": jnp.zeros((1, 4)),
+             "prompt_box_valid": jnp.zeros((1,)),
+             "prompt_mask": jnp.zeros((1, 32, 32, 1)),
+             "prompt_mask_valid": jnp.zeros((1,))}
+    abstract = dict(model.init({"params": jax.random.PRNGKey(0)},
+                               jnp.zeros((1, 2, 128, 128, 3)), probe))
+    restored = store.restore_best(abstract)
+    assert "params" in restored and "constants" in restored
+    assert "mask_decoder" in restored["params"]
+    # tracked-frame params made it into the checkpoint (2-frame CLI init)
+    assert "memory_attention" in restored["params"]
+    assert "object_pointer_time_position_projection" in restored["params"]
+    tpos = restored["params"][
+        "object_pointer_time_position_projection"]["kernel"]
+    np.testing.assert_allclose(
+        np.asarray(tpos),
+        tnet.object_pointer_time_position_projection.weight.detach()
+        .numpy().T, atol=1e-6)
+    gm = restored["constants"]["prompt_encoder"]["pe_layer"][
+        "positional_encoding_gaussian_matrix"]
+    np.testing.assert_allclose(
+        np.asarray(gm),
+        tnet.prompt_encoder.pe_layer
+        .positional_encoding_gaussian_matrix.numpy(), atol=1e-6)

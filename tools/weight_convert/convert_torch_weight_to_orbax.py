@@ -60,7 +60,10 @@ def main():
         model = sam2_models.__dict__[args.network](
             image_size=args.input_size, use_high_res_features=True)
         b = 1
-        images = jnp.zeros((b, 1, args.input_size, args.input_size, 3))
+        # 2-frame init: the tracked-frame path (memory attention, pointer
+        # time projection, mask-prompt downsample) must be traced so the
+        # converted checkpoint carries those params too
+        images = jnp.zeros((b, 2, args.input_size, args.input_size, 3))
         prompts = {"prompt_point": jnp.zeros((b, 1, 3)),
                    "prompt_box": jnp.zeros((b, 4)),
                    "prompt_box_valid": jnp.zeros((b,)),
