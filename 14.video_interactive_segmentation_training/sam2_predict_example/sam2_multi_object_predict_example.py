@@ -86,14 +86,19 @@ def main():
         cv2.imwrite(os.path.join(args.out_dir, f"{i:05d}.jpg"),
                     cv2.cvtColor(vis.astype(np.uint8), cv2.COLOR_RGB2BGR))
 
-    frame0 = jnp.tile(prep(frames[0]), (n_obj, 1, 1, 1))
-    feat, _ = encode(variables, frame0)
-    (masks, ious, _), carry = start(variables, feat, prompts)
+    # encode each frame ONCE and broadcast the features across the
+    # object rows (the encoder dominates per-frame cost; the per-object
+    # work is only the memory-conditioned decode)
+    def tile(t):
+        return jnp.tile(t, (n_obj, 1, 1, 1))
+
+    feat, _ = encode(variables, prep(frames[0]))
+    (masks, ious, _), carry = start(variables, tile(feat), prompts)
     save(0, frames[0], masks, ious)
     for i, frame in enumerate(frames[1:], start=1):
-        ft = jnp.tile(prep(frame), (n_obj, 1, 1, 1))
-        feat, pos = encode(variables, ft)
-        (masks, ious, _), carry = step(variables, feat, pos, carry)
+        feat, pos = encode(variables, prep(frame))
+        (masks, ious, _), carry = step(variables, tile(feat), tile(pos),
+                                       carry)
         save(i, frame, masks, ious)
     print(f"tracked {n_obj} objects over {len(frames)} frames -> "
           f"{args.out_dir}/")
