@@ -193,13 +193,13 @@ def bench_vit_train():
     }
     rng = jax.random.PRNGKey(1)
 
-    lowered = jax.jit(train_step, donate_argnums=()).lower(
-        state, batch, rng)
-    compiled = lowered.compile()
-    try:
-        flops_per_step = float(compiled.cost_analysis()["flops"])
-    except Exception:
-        flops_per_step = 0.0
+    # analytic fwd+bwd flops (3x the published 17.58 GFLOP ViT-B/16
+    # forward — the standard MFU accounting). NOTE: XLA cost_analysis
+    # reports ~2.2x this (it over-counts fused ops), which is what the
+    # earlier "0.42 MFU" figure was based on; the honest model-flops
+    # utilization at 706 img/s is ~0.19. The switch also saves a second
+    # ~2-minute compile over the remote tunnel.
+    flops_per_step = 3.0 * 17.58e9 * batch_size
 
     state, metrics = train_step(state, batch, rng)  # compile + warmup
     float(metrics["loss"])
@@ -216,10 +216,18 @@ def bench_vit_train():
 
 
 def main():
+    # the two headline anchors run first; the extra lines degrade
+    # gracefully so one failed sub-bench cannot zero the whole artifact
     vit_ips = bench_vit()
     det_ips = bench_retinanet()
-    int8_ips = bench_vit_int8()
-    train_ips, train_mfu = bench_vit_train()
+    try:
+        int8_ips = bench_vit_int8()
+    except Exception:
+        int8_ips = 0.0
+    try:
+        train_ips, train_mfu = bench_vit_train()
+    except Exception:
+        train_ips, train_mfu = 0.0, 0.0
     vit_ratio = vit_ips / REFERENCE_VIT_B_EVAL_IPS
     det_ratio = det_ips / REFERENCE_RETINANET_INFER_IPS
     vs = (vit_ratio * det_ratio) ** 0.5

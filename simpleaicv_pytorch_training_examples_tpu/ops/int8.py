@@ -84,27 +84,45 @@ def calibrate_activation_scales(model, variables, qtable, batches,
     [(images,)]). Runs the *fp* model over each batch recording the input
     absmax of every Dense in `qtable`; returns {path: fp32 scalar scale}
     where scale = max-over-batches(absmax) * percentile_margin / 127.
+
+    The sweep runs as ONE jitted program per batch signature (the
+    interceptor emits traced absmax scalars as auxiliary outputs) —
+    eager per-op execution over a remote-TPU tunnel is minutes-slow.
     """
     amaxes = {}
 
-    def interceptor(next_fn, f_args, f_kwargs, context):
-        m = context.module
-        if (isinstance(m, nn.Dense) and context.method_name == "__call__"):
-            path = tuple(m.path)
-            if path in qtable:
-                a = float(jnp.max(jnp.abs(f_args[0].astype(jnp.float32))))
-                amaxes[path] = max(amaxes.get(path, 0.0), a)
-        return next_fn(*f_args, **f_kwargs)
+    def run_batch(vs, batch):
+        # vs is a jit ARGUMENT: closing over the params would bake them
+        # into the HLO as constants (remote-compile tunnels reject the
+        # oversized request)
+        traced = {}
 
+        def interceptor(next_fn, f_args, f_kwargs, context):
+            m = context.module
+            if (isinstance(m, nn.Dense)
+                    and context.method_name == "__call__"):
+                path = tuple(m.path)
+                if path in qtable:
+                    a = jnp.max(jnp.abs(f_args[0].astype(jnp.float32)))
+                    prev = traced.get(path)
+                    traced[path] = a if prev is None \
+                        else jnp.maximum(prev, a)
+            return next_fn(*f_args, **f_kwargs)
+
+        with nn.intercept_methods(interceptor):
+            if method is not None:
+                model.apply(vs, *batch, method=method, **apply_kwargs)
+            else:
+                model.apply(vs, *batch, **apply_kwargs)
+        return traced
+
+    jitted = jax.jit(run_batch)
     for batch in batches:
         if not isinstance(batch, tuple):
             batch = (batch,)
-        with nn.intercept_methods(interceptor):
-            if method is not None:
-                model.apply(variables, *batch, method=method,
-                            **apply_kwargs)
-            else:
-                model.apply(variables, *batch, **apply_kwargs)
+        for path, a in jitted(variables, batch).items():
+            a = float(a)
+            amaxes[path] = max(amaxes.get(path, 0.0), a)
     return {path: max(a * percentile_margin / 127.0, 1e-8)
             for path, a in amaxes.items()}
 
