@@ -196,22 +196,29 @@ def semantic_segmentation_evaluator(model, config, ctx):
         else jnp.float32
 
     @jax.jit
-    def eval_step(state, batch):
+    def eval_step(state, batch, n_real):
         pred = model.apply({"params": state.params, **state.variables},
                            batch["image"].astype(compute_dtype), train=False)
         pred_cls = jnp.argmax(pred.astype(jnp.float32), axis=-1)
         gt = batch["mask"].astype(jnp.int32)
-        flat = gt.reshape(-1) * num_classes + pred_cls.reshape(-1)
-        conf = jnp.bincount(flat, length=num_classes * num_classes)
-        return conf.reshape(num_classes, num_classes)
+        b = gt.shape[0]
+        flat = (gt.reshape(b, -1) * num_classes +
+                pred_cls.reshape(b, -1))
+        # padded rows go to an overflow bin that is sliced away, so the
+        # ragged final batch cannot pollute the confusion matrix
+        valid = (jnp.arange(b) < n_real)[:, None]
+        flat = jnp.where(valid, flat, num_classes * num_classes)
+        conf = jnp.bincount(flat.reshape(-1),
+                            length=num_classes * num_classes + 1)
+        return conf[:num_classes * num_classes].reshape(num_classes,
+                                                        num_classes)
 
     def evaluate(state):
         confusion = np.zeros((num_classes, num_classes), np.int64)
         for batch in ctx.test_loader:
             padded, n_real = pad_batch_to_multiple(batch, ctx.n_devices)
-            # zero out padded rows' contribution by masking them to class 0
             padded = shard_batch(padded, ctx.mesh)
-            conf = np.asarray(eval_step(state, padded))
+            conf = np.asarray(eval_step(state, padded, n_real))
             confusion += conf
         tp = np.diag(confusion).astype(np.float64)
         fp = confusion.sum(axis=0) - tp
@@ -248,18 +255,21 @@ def salient_object_detection_evaluator(model, config, ctx):
     thresholds = jnp.linspace(0.0, 1.0 - 1e-4, 256)
 
     @jax.jit
-    def eval_step(state, batch):
+    def eval_step(state, batch, n_real):
         pred = model.apply({"params": state.params, **state.variables},
                            batch["image"].astype(compute_dtype),
                            train=False)[..., 0].astype(jnp.float32)
         gt = (batch["mask"] > 0.5).astype(jnp.float32)
-        # per-threshold tp/fp/fn summed over batch+pixels: [256]
+        # per-threshold tp/fp/fn summed over batch+pixels: [256];
+        # padded rows masked out so the ragged final batch adds nothing
         p = pred.reshape(pred.shape[0], -1)
         g = gt.reshape(gt.shape[0], -1)
+        valid = (jnp.arange(p.shape[0]) < n_real).astype(jnp.float32)
         bin_p = (p[None] > thresholds[:, None, None]).astype(jnp.float32)
-        tp = (bin_p * g[None]).sum(axis=(1, 2))
-        fp = (bin_p * (1 - g[None])).sum(axis=(1, 2))
-        fn = ((1 - bin_p) * g[None]).sum(axis=(1, 2))
+        w = valid[None, :, None]
+        tp = (bin_p * g[None] * w).sum(axis=(1, 2))
+        fp = (bin_p * (1 - g[None]) * w).sum(axis=(1, 2))
+        fn = ((1 - bin_p) * g[None] * w).sum(axis=(1, 2))
         # IoU at 0.5 per image
         b05 = (p > 0.5).astype(jnp.float32)
         inter = (b05 * g).sum(axis=1)
@@ -272,7 +282,7 @@ def salient_object_detection_evaluator(model, config, ctx):
         for batch in ctx.test_loader:
             padded, n_real = pad_batch_to_multiple(batch, ctx.n_devices)
             sharded = shard_batch(padded, ctx.mesh)
-            t, f, n, iou = eval_step(state, sharded)
+            t, f, n, iou = eval_step(state, sharded, n_real)
             meter.add_sums(t, f, n, np.asarray(iou)[:n_real].tolist())
         s = meter.summary()
         return s["miou"], (f"IoU {s['miou']:.4f} maxF {s['max_f_beta']:.4f} "

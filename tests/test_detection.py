@@ -170,3 +170,39 @@ def test_retinanet_fcos_forward_shapes():
     assert cls_heads[0].shape == (1, 16, 16, 10)
     assert reg_heads[0].shape == (1, 16, 16, 4)
     assert cnt_heads[0].shape == (1, 16, 16, 1)
+
+
+def test_coco_ap_pinned_interpolation_value():
+    """Pin the 101-point-interpolated COCO AP on a hand-computable case:
+    one class, 4 GT boxes, detections ranked [TP, FP, TP, miss...].
+
+    With 2 TPs over 4 GTs at ranks 1 and 3: precision-recall points are
+    (r=0.25, p=1.0) and (r=0.50, p=2/3). 101-pt interpolation gives
+    p=1.0 for r in [0, .25], p=2/3 for r in (.25, .50], 0 beyond ->
+    AP = (26*1.0 + 25*2/3 + 50*0) / 101 = 0.42244 (matches
+    pycocotools on the same input).
+    """
+    from simpleaicv_pytorch_training_examples_tpu.detection.coco_eval import (
+        COCOMeanAveragePrecision)
+
+    def gt(img, x):
+        return {"image_id": img, "category_id": 1,
+                "bbox": [x, 10.0, 50.0, 50.0], "iscrowd": 0,
+                "area": 2500.0}
+
+    def det(img, x, score):
+        return {"image_id": img, "category_id": 1,
+                "bbox": [x, 10.0, 50.0, 50.0], "score": score}
+
+    gts = [gt(0, 10), gt(0, 200), gt(1, 10), gt(1, 200)]
+    dets = [
+        det(0, 10, 0.9),     # rank 1: TP (exact match)
+        det(0, 400, 0.8),    # rank 2: FP (no gt there)
+        det(1, 200, 0.7),    # rank 3: TP
+    ]
+    stats = COCOMeanAveragePrecision().evaluate(gts, dets)
+    expected = (26 * 1.0 + 25 * (2.0 / 3.0)) / 101
+    # stats[1] is AP@.50; exact-overlap TPs make every IoU threshold
+    # agree, so AP@[.5:.95] (stats[0]) must equal it too
+    assert stats[1] == pytest.approx(expected, abs=1e-6), stats[1]
+    assert stats[0] == pytest.approx(expected, abs=1e-6), stats[0]

@@ -92,3 +92,77 @@ def test_sod_fbeta_pinned_value():
     inv.update((1.0 - gt)[None], gt[None])
     stats_inv = inv.summary()
     assert stats_inv["miou"] < 0.1
+
+
+def test_semantic_miou_ragged_batch_matches_unpadded():
+    """Streaming-confusion mIoU through the real evaluator with a ragged
+    final batch on the 8-device mesh must equal the plain numpy confusion
+    over the REAL samples only (padded rows must add nothing)."""
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    from simpleaicv_pytorch_training_examples_tpu.data.loader import (
+        DataLoader)
+    from simpleaicv_pytorch_training_examples_tpu.engine.evaluators import (
+        semantic_segmentation_evaluator)
+    from simpleaicv_pytorch_training_examples_tpu.engine.runner import (
+        RunContext)
+    from simpleaicv_pytorch_training_examples_tpu.parallel import build_mesh
+
+    num_classes = 4
+
+    class PixelHead(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            return nn.Dense(num_classes, name="head")(x)
+
+    rs = np.random.RandomState(0)
+    n = 11  # not divisible by 8 -> ragged final batch after padding
+    images = rs.rand(n, 8, 8, 3).astype(np.float32)
+    masks = rs.randint(0, num_classes, (n, 8, 8)).astype(np.int32)
+
+    class DS:
+        def __len__(self):
+            return n
+
+        def __getitem__(self, i):
+            return {"image": images[i], "mask": masks[i]}
+
+    def collate(samples):
+        return {"image": np.stack([s["image"] for s in samples]),
+                "mask": np.stack([s["mask"] for s in samples])}
+
+    model = PixelHead()
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 8, 8, 3)))
+
+    class cfg:
+        num_classes = 4
+        use_amp = False
+
+    mesh = build_mesh(model_parallel_size=1)
+    loader = DataLoader(DS(), 8, collate, shuffle=False, drop_last=False,
+                        num_workers=1)
+
+    from simpleaicv_pytorch_training_examples_tpu.engine import TrainState
+    state = TrainState(step=jnp.zeros((), jnp.int32),
+                       params=variables["params"], variables={},
+                       opt_state=(), ema_params=None)
+
+    ctx = RunContext(mesh, None, loader, None, mesh.devices.size)
+    evaluate = semantic_segmentation_evaluator(model, cfg, ctx)
+    miou, _ = evaluate(state)
+
+    # numpy reference over the real samples only
+    logits = np.asarray(model.apply(variables, jnp.asarray(images)))
+    pred = logits.argmax(-1)
+    conf = np.zeros((num_classes, num_classes), np.int64)
+    for g, p in zip(masks.reshape(-1), pred.reshape(-1)):
+        conf[g, p] += 1
+    tp = np.diag(conf).astype(np.float64)
+    fp = conf.sum(0) - tp
+    fn = conf.sum(1) - tp
+    iou = tp / np.clip(tp + fp + fn, 1, None)
+    expected = float(iou[conf.sum(1) > 0].mean() * 100)
+    assert abs(miou - expected) < 1e-6, (miou, expected)
