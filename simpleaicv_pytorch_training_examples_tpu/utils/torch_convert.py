@@ -17,7 +17,7 @@ import numpy as np
 __all__ = ["convert_resnet_state_dict", "convert_vit_state_dict",
            "convert_van_state_dict", "convert_convformer_state_dict",
            "convert_dinov3_vit_state_dict",
-           "convert_sam_encoder_state_dict",
+           "convert_sam_encoder_state_dict", "convert_sam_state_dict",
            "convert_sam2_encoder_state_dict", "convert_sam2_state_dict",
            "merge_converted"]
 
@@ -437,6 +437,103 @@ def convert_dinov3_vit_state_dict(sd):
             put_linear(f"{t}.mlp.w3", f"{f}.swiglu.w3")
     put_ln("norm", "norm")
     return params, {}
+
+
+def convert_sam_state_dict(sd):
+    """Full reference SAM checkpoint (interactive_segmentation/models/
+    segment_anything/sam.py: image encoder + prompt encoder + two-way
+    mask decoder) -> this framework's SAM tree. Same layout rules as the
+    SAM2 converter, minus the object-score token / occlusion head and
+    high-res skips SAM does not have.
+
+    Returns (params_flat, constants_flat) — constants_flat carries the
+    prompt encoder's fixed gaussian PE matrix.
+    """
+    params, constants = {}, {}
+    enc_params, _ = convert_sam_encoder_state_dict(sd)
+    for k, v in enc_params.items():
+        params[f"image_encoder.{k}"] = v
+
+    def put_linear(tp, fp):
+        params[f"{fp}.kernel"] = _linear_w(np.asarray(sd[f"{tp}.weight"]))
+        if f"{tp}.bias" in sd:
+            params[f"{fp}.bias"] = np.asarray(sd[f"{tp}.bias"])
+
+    def put_ln(tp, fp, scale_name="scale"):
+        params[f"{fp}.{scale_name}"] = np.asarray(sd[f"{tp}.weight"])
+        params[f"{fp}.bias"] = np.asarray(sd[f"{tp}.bias"])
+
+    def put_conv(tp, fp):
+        params[f"{fp}.kernel"] = _conv_w(np.asarray(sd[f"{tp}.weight"]))
+        params[f"{fp}.bias"] = np.asarray(sd[f"{tp}.bias"])
+
+    def put_mlp(tp, fp, n=3):
+        for j in range(n):
+            put_linear(f"{tp}.layers.{j}", f"{fp}.layer_{j}")
+
+    def put_attn(tp, fp):
+        for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            put_linear(f"{tp}.{proj}", f"{fp}.{proj}")
+
+    # ---- prompt encoder
+    constants["prompt_encoder.pe_layer."
+              "positional_encoding_gaussian_matrix"] = np.asarray(
+        sd["prompt_encoder.pe_layer.positional_encoding_gaussian_matrix"])
+    params["prompt_encoder.point_embeddings"] = np.concatenate(
+        [np.asarray(sd[f"prompt_encoder.point_embeddings.{i}.weight"])
+         for i in range(4)], axis=0)
+    params["prompt_encoder.not_a_point_embed"] = np.asarray(
+        sd["prompt_encoder.not_a_point_embed.weight"])
+    params["prompt_encoder.no_mask_embed"] = np.asarray(
+        sd["prompt_encoder.no_mask_embed.weight"])
+    put_conv("prompt_encoder.mask_downscaling.0",
+             "prompt_encoder.mask_conv1")
+    put_ln("prompt_encoder.mask_downscaling.1",
+           "prompt_encoder.mask_ln1", scale_name="weight")
+    put_conv("prompt_encoder.mask_downscaling.3",
+             "prompt_encoder.mask_conv2")
+    put_ln("prompt_encoder.mask_downscaling.4",
+           "prompt_encoder.mask_ln2", scale_name="weight")
+    put_conv("prompt_encoder.mask_downscaling.6",
+             "prompt_encoder.mask_conv3")
+
+    # ---- mask decoder (no obj_score_token / pred_obj_score_head in SAM)
+    md, fd = "mask_decoder", "mask_decoder"
+    for tok in ("iou_token", "mask_tokens"):
+        params[f"{fd}.{tok}"] = np.asarray(sd[f"{md}.{tok}.weight"])
+    for i in range(2):
+        tl, fl = f"{md}.transformer.layers.{i}", \
+            f"{fd}.transformer.layer_{i}"
+        put_attn(f"{tl}.self_attn", f"{fl}.self_attn")
+        put_attn(f"{tl}.cross_attn_token_to_image",
+                 f"{fl}.cross_attn_token_to_image")
+        put_attn(f"{tl}.cross_attn_image_to_token",
+                 f"{fl}.cross_attn_image_to_token")
+        # SAM's MLPBlock names its linears lin1/lin2 (SAM2 uses layers.N)
+        put_linear(f"{tl}.mlp.lin1", f"{fl}.mlp_lin1")
+        put_linear(f"{tl}.mlp.lin2", f"{fl}.mlp_lin2")
+        for n in ("norm1", "norm2", "norm3", "norm4"):
+            put_ln(f"{tl}.{n}", f"{fl}.{n}")
+    put_attn(f"{md}.transformer.final_attn_token_to_image",
+             f"{fd}.transformer.final_attn_token_to_image")
+    put_ln(f"{md}.transformer.norm_final_attn",
+           f"{fd}.transformer.norm_final_attn")
+    params[f"{fd}.upscale_conv1.kernel"] = _convtranspose_w(
+        np.asarray(sd[f"{md}.output_upscaling.0.weight"]))
+    params[f"{fd}.upscale_conv1.bias"] = np.asarray(
+        sd[f"{md}.output_upscaling.0.bias"])
+    put_ln(f"{md}.output_upscaling.1", f"{fd}.upscale_ln",
+           scale_name="weight")
+    params[f"{fd}.upscale_conv2.kernel"] = _convtranspose_w(
+        np.asarray(sd[f"{md}.output_upscaling.3.weight"]))
+    params[f"{fd}.upscale_conv2.bias"] = np.asarray(
+        sd[f"{md}.output_upscaling.3.bias"])
+    n_hyper = 1 + max(int(k.split(".")[2]) for k in sd
+                      if k.startswith(f"{md}.output_hypernetworks_mlps."))
+    for i in range(n_hyper):
+        put_mlp(f"{md}.output_hypernetworks_mlps.{i}", f"{fd}.hyper_mlp_{i}")
+    put_mlp(f"{md}.iou_prediction_head", f"{fd}.iou_prediction_head")
+    return params, constants
 
 
 def _convtranspose_w(w):

@@ -532,3 +532,65 @@ def test_convert_cli_sam2_mapping(tmp_path, monkeypatch):
         np.asarray(gm),
         tnet.prompt_encoder.pe_layer
         .positional_encoding_gaussian_matrix.numpy(), atol=1e-6)
+
+
+def test_sam_full_model_parity_with_reference():
+    """Full-model parity for SAM (task 13): same converted weights, same
+    image and point prompt -> same upsampled mask logits and iou preds
+    through encoder + prompt encoder + two-way decoder end to end."""
+    sys.path.insert(0, REFERENCE)
+    import torch
+    import jax
+    import jax.numpy as jnp
+    from SimpleAICV.interactive_segmentation.models.segment_anything.sam import (
+        _sam as torch_sam)
+    from simpleaicv_pytorch_training_examples_tpu.interactive_segmentation.models.segment_anything.sam import (
+        SAM)
+    from simpleaicv_pytorch_training_examples_tpu.utils.torch_convert import (
+        convert_sam_state_dict, merge_converted)
+
+    torch.manual_seed(0)
+    tnet = torch_sam(image_size=128, patch_size=16,
+                     image_encoder_embedding_planes=64,
+                     image_encoder_block_nums=2,
+                     image_encoder_head_nums=2,
+                     image_encoder_global_attn_indexes=[1],
+                     prompt_encoder_embedding_planes=64).eval()
+
+    jnet = SAM(image_size=128, image_encoder_embedding_planes=64,
+               image_encoder_block_nums=2, image_encoder_head_nums=2,
+               image_encoder_global_attn_indexes=(1,),
+               prompt_encoder_embedding_planes=64)
+    probe = {"prompt_point": jnp.zeros((1, 1, 3)),
+             "prompt_box": jnp.zeros((1, 4)),
+             "prompt_box_valid": jnp.zeros((1,)),
+             "prompt_mask": jnp.zeros((1, 32, 32, 1)),
+             "prompt_mask_valid": jnp.zeros((1,))}
+    v = jnet.init({"params": jax.random.PRNGKey(0)},
+                  jnp.zeros((1, 128, 128, 3)), probe)
+
+    pf, cf = convert_sam_state_dict(tnet.state_dict())
+    # converter must fill every leaf
+    flat = jax.tree_util.tree_flatten_with_path(v["params"])[0]
+    names = {".".join(str(getattr(p, "key", "")) for p in path)
+             for path, _ in flat}
+    missing = sorted(n for n in names if n not in pf)
+    assert not missing, missing[:8]
+    params, _ = merge_converted(v["params"], {}, pf, {})
+    constants, _ = merge_converted(v["constants"], {}, cf, {})
+
+    x = np.random.RandomState(0).rand(1, 128, 128, 3).astype(np.float32)
+    points = np.asarray([[[40.0, 60.0, 1.0]]], np.float32)
+    with torch.no_grad():
+        t_masks, t_ious = tnet(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)),
+            {"prompt_point": torch.from_numpy(points),
+             "prompt_box": None, "prompt_mask": None})
+    j_masks, j_ious = jnet.apply(
+        {"params": params, "constants": constants}, jnp.asarray(x),
+        {"prompt_point": jnp.asarray(points), "prompt_box": None,
+         "prompt_mask": None})
+    np.testing.assert_allclose(t_masks.detach().numpy(),
+                               np.asarray(j_masks), atol=2e-2, rtol=1e-3)
+    np.testing.assert_allclose(t_ious.detach().numpy(),
+                               np.asarray(j_ious), atol=1e-3)

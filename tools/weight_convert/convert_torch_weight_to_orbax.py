@@ -14,6 +14,8 @@ Usage:
       --output ckpt_dir
   python convert_torch_weight_to_orbax.py --torch-ckpt mae_vit_b.pth \
       --mapping vit --network vit_base_patch16 --output ckpt_dir
+  python convert_torch_weight_to_orbax.py --torch-ckpt sam_b.pth \
+      --mapping sam --network sam_b --input-size 1024 --output ckpt_dir
   python convert_torch_weight_to_orbax.py --torch-ckpt sam2_b+.pth \
       --mapping sam2 --network sam2_hiera_base_plus_video \
       --input-size 1024 --output ckpt_dir
@@ -31,7 +33,7 @@ sys.path.append(BASE_DIR)
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--torch-ckpt", required=True)
-    p.add_argument("--mapping", choices=("resnet", "vit", "sam2"),
+    p.add_argument("--mapping", choices=("resnet", "vit", "sam", "sam2"),
                    required=True)
     p.add_argument("--network", required=True)
     p.add_argument("--num-classes", type=int, default=1000)
@@ -49,10 +51,30 @@ def main():
         CheckpointStore, load_torch_state_dict)
     from simpleaicv_pytorch_training_examples_tpu.utils.torch_convert import (
         convert_resnet_state_dict, convert_sam2_state_dict,
-        convert_vit_state_dict, merge_converted)
+        convert_sam_state_dict, convert_vit_state_dict, merge_converted)
 
     sd = load_torch_state_dict(args.torch_ckpt)
-    if args.mapping == "sam2":
+    if args.mapping == "sam":
+        # full SAM (encoder + prompt encoder + two-way mask decoder)
+        from simpleaicv_pytorch_training_examples_tpu.interactive_segmentation.models.segment_anything import (
+            sam as sam_models)
+        params_flat, constants_flat = convert_sam_state_dict(sd)
+        model = sam_models.__dict__[args.network](
+            image_size=args.input_size)
+        b = 1
+        images = jnp.zeros((b, args.input_size, args.input_size, 3))
+        prompts = {"prompt_point": jnp.zeros((b, 1, 3)),
+                   "prompt_box": jnp.zeros((b, 4)),
+                   "prompt_box_valid": jnp.zeros((b,)),
+                   "prompt_mask": jnp.zeros(
+                       (b, args.input_size // 4, args.input_size // 4, 1)),
+                   "prompt_mask_valid": jnp.zeros((b,))}
+        v = model.init({"params": jax.random.PRNGKey(0)}, images, prompts)
+        params, _ = merge_converted(v["params"], {}, params_flat, {})
+        constants, _ = merge_converted(v["constants"], {},
+                                       constants_flat, {})
+        variables = {"constants": constants}
+    elif args.mapping == "sam2":
         # full SAM2 video model (encoder + prompt/mask decoder + memory)
         from simpleaicv_pytorch_training_examples_tpu.video_interactive_segmentation.models.segment_anything2 import (
             sam2 as sam2_models)
@@ -95,7 +117,7 @@ def main():
     # format apply_pretrained / *_pretrained_path consume
     tree = {"params": params}
     if variables:
-        if args.mapping == "sam2":
+        if args.mapping in ("sam", "sam2"):
             tree.update(variables)  # {"constants": ...}
         else:
             tree["batch_stats"] = variables
