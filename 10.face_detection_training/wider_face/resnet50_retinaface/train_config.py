@@ -71,6 +71,12 @@ class config:
                                       resize_type="yolo_style",
                                       max_annots_num=300)
 
+    # official per-difficulty gt (resave_widerface_gt.py over the 4
+    # eval-tools .mat files); when absent, the test entry falls back to
+    # dataset boxes and the 3 APs collapse to one number
+    widerface_gt_json_path = os.path.join(
+        face_detection_dataset_path, "wider_face", "widerface_val_gt.json")
+
     seed = 0
     batch_size = 16
     num_workers = 16

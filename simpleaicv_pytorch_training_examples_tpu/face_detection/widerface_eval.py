@@ -6,9 +6,36 @@ score-ranked detections, AP over 1000 score thresholds with normalized
 scores.
 """
 
+import json
+
 import numpy as np
 
-__all__ = ["evaluate_widerface"]
+__all__ = ["evaluate_widerface", "load_widerface_gt"]
+
+
+def load_widerface_gt(json_path):
+    """Load the resaved official per-difficulty ground truth (produced by
+    tools/dataset_preprocessing/resave_widerface_gt.py from the 4 official
+    .mat files — reference eval_widerface.py:63-78).
+
+    Returns {image_stem: {"boxes": [N,4] xyxy float32, "easy"/"medium"/
+    "hard": [N] bool keep masks}}. Faces outside a difficulty's keep list
+    are ignored at that difficulty (matching them is neither hit nor FP).
+    """
+    with open(json_path) as f:
+        raw = json.load(f)
+    gt = {}
+    for stem, entry in raw.items():
+        boxes = np.asarray(entry["boxes"], np.float32).reshape(-1, 4)
+        n = len(boxes)
+        item = {"boxes": boxes}
+        for lvl in ("easy", "medium", "hard"):
+            mask = np.zeros(n, bool)
+            idx = [i for i in entry.get(lvl, []) if 0 <= i < n]
+            mask[idx] = True
+            item[lvl] = mask
+        gt[stem] = item
+    return gt
 
 
 def _image_eval(pred_boxes, pred_scores, gt_boxes, keep_mask,
