@@ -28,9 +28,10 @@ def load_or_synthesize_image(path, size=640):
     return img
 
 
-def build_sam(network, checkpoint, canvas, prompts):
+def build_sam(network, checkpoint, canvas, prompts, **model_kw):
     """Construct + init a SAM model, apply a checkpoint if given; returns
-    (model, params, variables)."""
+    (model, params, variables). model_kw (e.g. image_size=256) lets tests
+    drive the examples at small scale."""
     import jax
     import jax.numpy as jnp
 
@@ -41,7 +42,7 @@ def build_sam(network, checkpoint, canvas, prompts):
     from simpleaicv_pytorch_training_examples_tpu.interactive_segmentation import (
         models as sam_models)
 
-    model = sam_models.__dict__[network]()
+    model = sam_models.__dict__[network](**model_kw)
     load_state_dict(checkpoint, model)
     variables = model.init({"params": jax.random.PRNGKey(0)},
                            jnp.asarray(canvas[None]), prompts)

@@ -55,9 +55,12 @@ class SAMAutomaticMaskGenerator:
                                    (b, *embedding.shape[1:]))
             prompts = {"prompt_point": points[:, None, :],
                        "prompt_box": None, "prompt_mask": None}
-            masks, ious = model.apply(
+            # SAM returns (masks, ious); SAM2Image additionally returns
+            # object logits — take the first two either way
+            out = model.apply(
                 {"params": params, **self.variables}, emb, prompts,
                 method=type(model).forward_prompt_encoder_mask_decoder)
+            masks, ious = out[0], out[1]
             # pick best of the multimask outputs per prompt
             best = jnp.argmax(ious, axis=-1)
             bidx = jnp.arange(b)
