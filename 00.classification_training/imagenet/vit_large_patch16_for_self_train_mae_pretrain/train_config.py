@@ -46,6 +46,8 @@ class config:
         # mixed precision: fp32 params, bf16 layer compute (+12% train
         # throughput measured on v5e, identical loss trajectory)
         "dtype": jnp.bfloat16,
+        # pallas fused short-N attention (TPU; XLA fallback elsewhere)
+        "use_fused_attention": True,
     })
 
     # path to the 02.x self-trained MAE encoder

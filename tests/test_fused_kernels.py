@@ -1,0 +1,222 @@
+"""Short-sequence fused attention + fused LayerNorm pallas kernels.
+
+CPU runs the XLA fallbacks (API contract + gradients); the real kernel
+logic is additionally exercised in pallas interpret mode at tiny shapes.
+On-chip numbers live in the kernel docstrings (ViT-B/16 train shape:
+attention fwd 2.3x XLA, fwd+bwd 1.9x)."""
+
+import numpy as np
+
+
+def _ref_attn(q, k, v):
+    import jax
+    import jax.numpy as jnp
+    d = q.shape[-1]
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * (d**-0.5)
+    p = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+
+def test_fused_attention_fallback_and_grad():
+    import jax
+    import jax.numpy as jnp
+    from simpleaicv_pytorch_training_examples_tpu.ops.pallas import (
+        fused_attention)
+
+    rs = np.random.RandomState(0)
+    q = jnp.asarray(rs.randn(2, 4, 37, 32), jnp.float32)
+    k = jnp.asarray(rs.randn(2, 4, 37, 32), jnp.float32)
+    v = jnp.asarray(rs.randn(2, 4, 37, 32), jnp.float32)
+    np.testing.assert_allclose(np.asarray(fused_attention(q, k, v)),
+                               np.asarray(_ref_attn(q, k, v)), atol=1e-6)
+    g = jax.grad(lambda q: fused_attention(q, k, v).sum())(q)
+    assert np.isfinite(float(jnp.abs(g).sum()))
+
+
+def test_fused_attention_interpret_exact():
+    """Kernel fwd + custom-vjp bwd vs autodiff of the reference, ragged N
+    (non-multiple-of-8 rows exercise Mosaic's in-VMEM masking)."""
+    import jax
+    import jax.numpy as jnp
+    from simpleaicv_pytorch_training_examples_tpu.ops.pallas import (
+        fused_attention)
+
+    rs = np.random.RandomState(1)
+    b, h, n, d = 2, 4, 37, 32
+    q = jnp.asarray(rs.randn(b, h, n, d), jnp.float32)
+    k = jnp.asarray(rs.randn(b, h, n, d), jnp.float32)
+    v = jnp.asarray(rs.randn(b, h, n, d), jnp.float32)
+
+    out = fused_attention(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(_ref_attn(q, k, v)),
+                               atol=1e-5)
+
+    def loss_kernel(q, k, v):
+        o = fused_attention(q, k, v, interpret=True)
+        return jnp.sum(o * o)
+
+    def loss_ref(q, k, v):
+        o = _ref_attn(q, k, v)
+        return jnp.sum(o * o)
+
+    gk = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=3e-5)
+
+
+def test_fused_attention_key_padding_mask():
+    """n_real masks trailing keys exactly like a -inf logit bias."""
+    import jax.numpy as jnp
+    from simpleaicv_pytorch_training_examples_tpu.ops.pallas import (
+        fused_attention)
+
+    rs = np.random.RandomState(2)
+    b, h, n, d = 1, 2, 24, 16
+    n_real = 17
+    q = jnp.asarray(rs.randn(b, h, n, d), jnp.float32)
+    k = jnp.asarray(rs.randn(b, h, n, d), jnp.float32)
+    v = jnp.asarray(rs.randn(b, h, n, d), jnp.float32)
+    got = fused_attention(q, k, v, n_real=n_real, interpret=True)
+    want = _ref_attn(q[:, :, :, :], k[:, :, :n_real], v[:, :, :n_real])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5)
+
+
+def test_fused_attention_in_vit_block():
+    """The flag routes through MultiHeadSelfAttention; CPU fallback keeps
+    numerics identical to the plain path."""
+    import jax
+    import jax.numpy as jnp
+    from simpleaicv_pytorch_training_examples_tpu.models.common import (
+        MultiHeadSelfAttention)
+
+    rs = np.random.RandomState(3)
+    x = jnp.asarray(rs.randn(2, 9, 32), jnp.float32)
+    m_plain = MultiHeadSelfAttention(head_nums=4)
+    m_fused = MultiHeadSelfAttention(head_nums=4, use_fused_attention=True)
+    params = m_plain.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_allclose(
+        np.asarray(m_fused.apply(params, x)),
+        np.asarray(m_plain.apply(params, x)), atol=1e-6)
+
+
+def _ref_ln(x, gamma, beta, eps=1e-6):
+    import jax
+    import jax.numpy as jnp
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(axis=-1, keepdims=True)
+    var = ((xf - mean) ** 2).mean(axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (y * gamma + beta).astype(x.dtype)
+
+
+def test_layer_norm_fallback_matches_flax():
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+    from simpleaicv_pytorch_training_examples_tpu.ops.pallas import (
+        layer_norm)
+
+    rs = np.random.RandomState(4)
+    x = jnp.asarray(rs.randn(3, 7, 64), jnp.float32)
+    gamma = jnp.asarray(rs.rand(64), jnp.float32)
+    beta = jnp.asarray(rs.randn(64), jnp.float32)
+    ln = nn.LayerNorm(epsilon=1e-6)
+    want = ln.apply({"params": {"scale": gamma, "bias": beta}}, x)
+    np.testing.assert_allclose(np.asarray(layer_norm(x, gamma, beta)),
+                               np.asarray(want), atol=1e-5)
+
+
+def test_layer_norm_interpret_fwd_bwd():
+    import jax
+    import jax.numpy as jnp
+    from simpleaicv_pytorch_training_examples_tpu.ops.pallas import (
+        layer_norm)
+
+    rs = np.random.RandomState(5)
+    x = jnp.asarray(rs.randn(48, 128), jnp.float32)
+    gamma = jnp.asarray(rs.rand(128), jnp.float32)
+    beta = jnp.asarray(rs.randn(128), jnp.float32)
+
+    got = layer_norm(x, gamma, beta, block_tokens=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(_ref_ln(x, gamma, beta)),
+                               atol=1e-5)
+
+    def loss_k(x, g, b):
+        y = layer_norm(x, g, b, block_tokens=16, interpret=True)
+        return jnp.sum(y * y)
+
+    def loss_r(x, g, b):
+        y = _ref_ln(x, g, b)
+        return jnp.sum(y * y)
+
+    gk = jax.grad(loss_k, argnums=(0, 1, 2))(x, gamma, beta)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(x, gamma, beta)
+    for a, b_ in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_layer_norm_interpret_ragged_tail():
+    """Token count not a multiple of block_tokens pads then crops."""
+    import jax.numpy as jnp
+    from simpleaicv_pytorch_training_examples_tpu.ops.pallas import (
+        layer_norm)
+
+    rs = np.random.RandomState(6)
+    x = jnp.asarray(rs.randn(2, 19, 64), jnp.float32)  # 38 tokens, bt=16
+    gamma = jnp.asarray(rs.rand(64), jnp.float32)
+    beta = jnp.asarray(rs.randn(64), jnp.float32)
+    got = layer_norm(x, gamma, beta, block_tokens=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(_ref_ln(x, gamma, beta)),
+                               atol=1e-5)
+
+
+def test_fused_attention_packed_interpret_exact():
+    """Packed [B,N,3,H,D] variant: fwd + packed-dqkv bwd vs autodiff of
+    the reference (zero-layout-copy path used by MultiHeadSelfAttention)."""
+    import jax
+    import jax.numpy as jnp
+    from simpleaicv_pytorch_training_examples_tpu.ops.pallas.fused_attention import (
+        fused_attention_qkv)
+
+    rs = np.random.RandomState(7)
+    b, n, h, d = 2, 37, 4, 32
+    qkv = jnp.asarray(rs.randn(b, n, 3, h, d), jnp.float32)
+
+    def unpack_ref(qkv):
+        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+        return _ref_attn(q, k, v).transpose(0, 2, 1, 3)
+
+    out = fused_attention_qkv(qkv, interpret=True)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(unpack_ref(qkv)), atol=1e-5)
+
+    gk = jax.grad(lambda t: jnp.sum(
+        fused_attention_qkv(t, interpret=True) ** 2))(qkv)
+    gr = jax.grad(lambda t: jnp.sum(unpack_ref(t) ** 2))(qkv)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), atol=3e-5)
+
+
+def test_fused_attention_packed_head_groups():
+    """h not divisible by block_heads falls back to a divisor group."""
+    import jax.numpy as jnp
+    from simpleaicv_pytorch_training_examples_tpu.ops.pallas.fused_attention import (
+        fused_attention_qkv)
+
+    rs = np.random.RandomState(8)
+    qkv = jnp.asarray(rs.randn(1, 16, 3, 6, 16), jnp.float32)  # h=6
+
+    def unpack_ref(qkv):
+        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+        return _ref_attn(q, k, v).transpose(0, 2, 1, 3)
+
+    out = fused_attention_qkv(qkv, block_heads=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(unpack_ref(qkv)), atol=1e-5)

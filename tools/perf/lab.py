@@ -1,21 +1,23 @@
-"""Interactive TPU perf lab: helpers for timing train/eval step variants.
+"""Interactive TPU perf lab: timing helpers for train/eval step variants.
 
 Drive from a persistent python process (tunnel warmup is ~1-3 min per
-process; compiles after that are sub-second), e.g.:
-
-    python -i tools/perf/lab.py
-    >>> warmup()
-    >>> sweep_train()
+process; compiles after that are fast). Timing is python-loop with one
+host fetch at the end — per-dispatch latency on the axon tunnel is
+~1.4 ms, negligible against 100+ ms steps. Avoid lax.fori_loop chains:
+remote compile of chained train steps is pathologically slow (>40 min
+observed).
 """
 import time
 import sys, os
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+sys.path.insert(0, "/root/repo")
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 PEAK = 197e12  # v5e bf16
+VIT_B_FWD_FLOPS = 17.58e9
+
 
 def warmup():
     t0 = time.time()
@@ -23,10 +25,12 @@ def warmup():
     def tiny(x):
         return x * 1.000001
     float(tiny(jnp.ones((8, 8))).sum())
-    print(f"warmup {time.time()-t0:.1f}s; device={jax.devices()[0].device_kind}")
+    print(f"warmup {time.time()-t0:.1f}s; device={jax.devices()[0].device_kind}",
+          flush=True)
+
 
 def build_vit_train(softmax_dtype=jnp.float32, batch_size=256, remat=False,
-                    flash=False, **model_kw):
+                    donate=True, **model_kw):
     from simpleaicv_pytorch_training_examples_tpu.classification import (
         backbones, losses)
     from simpleaicv_pytorch_training_examples_tpu.engine import (
@@ -50,98 +54,47 @@ def build_vit_train(softmax_dtype=jnp.float32, batch_size=256, remat=False,
                        variables=variables, opt_state=tx.init(params),
                        ema_params=None)
     step = make_train_step(model, losses.CELoss(), tx,
-                           compute_dtype=jnp.bfloat16, donate=False)
+                           compute_dtype=jnp.bfloat16, donate=donate)
     batch = {"image": jnp.asarray(
                  np.random.RandomState(0).rand(batch_size, 224, 224, 3),
                  jnp.float32),
              "label": jnp.zeros((batch_size,), jnp.int32)}
     return model, step, state, batch
 
-def time_chain(fn, *args, iters=10, label=""):
-    """Chain `iters` calls of a (state, batch, rng)->(state, metrics) step
-    inside one jit; returns ms/step."""
-    @jax.jit
-    def chain(state, batch, rng):
-        def body(i, carry):
-            s, _ = carry
-            s, m = fn(s, batch, jax.random.fold_in(rng, i))
-            return (s, m["loss"])
-        return jax.lax.fori_loop(0, iters, body,
-                                 (args[0], jnp.zeros((), jnp.float32)))
-    state, batch = args[0], args[1]
+
+def time_train(step, state, batch, iters=10, label="train",
+               fwd_mult=3.0):
     rng = jax.random.PRNGKey(1)
     t0 = time.time()
-    out = chain(state, batch, rng); float(out[1])
+    state, metrics = step(state, batch, rng)
+    float(metrics["loss"])
     tc = time.time() - t0
     t0 = time.perf_counter()
-    out = chain(state, batch, rng); float(out[1])
+    for _ in range(iters):
+        state, metrics = step(state, batch, rng)
+    float(metrics["loss"])
     dt = (time.perf_counter() - t0) / iters
     bs = batch["image"].shape[0]
-    mfu = 3.0 * 17.58e9 * bs / dt / PEAK
+    mfu = fwd_mult * VIT_B_FWD_FLOPS * bs / dt / PEAK
     print(f"{label}: {dt*1e3:.1f} ms/step  {bs/dt:.0f} img/s  mfu={mfu:.3f}"
-          f"  (compile+1st {tc:.1f}s)")
-    return dt
+          f"  (compile+1st {tc:.1f}s)", flush=True)
+    return dt, state
 
-def time_fwd(model, state, batch, iters=20, train=True, label="fwd"):
-    """Forward-only chained timing."""
-    imgs = batch["image"].astype(jnp.bfloat16)
-    rng = jax.random.PRNGKey(1)
-    @jax.jit
-    def chain(params, imgs):
-        def body(i, carry):
-            acc, x = carry
-            out = model.apply({"params": params, **state.variables}, x,
-                              train=train,
-                              rngs={"dropout": rng, "droppath": rng})
-            acc = acc + out.astype(jnp.float32).sum()
-            x = imgs * (1.0 + 1e-9 * acc.astype(imgs.dtype))
-            return acc, x
-        acc, _ = jax.lax.fori_loop(0, iters, body,
-                                   (jnp.zeros((), jnp.float32), imgs))
-        return acc
-    t0 = time.time(); float(chain(state.params, imgs)); tc = time.time()-t0
-    t0 = time.perf_counter(); float(chain(state.params, imgs))
+
+def time_apply(fn, args, iters=10, label="apply", flops=None):
+    """fn must return something tree-like; we fetch one scalar at the end."""
+    def fetch(out):
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return float(jnp.sum(leaf.astype(jnp.float32)))
+    t0 = time.time(); fetch(fn(*args)); tc = time.time() - t0
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(iters):
+        out = fn(*args)
+    fetch(out)
     dt = (time.perf_counter() - t0) / iters
-    bs = imgs.shape[0]
-    mfu = 17.58e9 * bs / dt / PEAK
-    print(f"{label}: {dt*1e3:.1f} ms  {bs/dt:.0f} img/s  fwd-mfu={mfu:.3f}"
-          f"  (compile+1st {tc:.1f}s)")
+    msg = f"{label}: {dt*1e3:.1f} ms"
+    if flops:
+        msg += f"  mfu={flops/dt/PEAK:.3f}"
+    print(msg + f"  (compile+1st {tc:.1f}s)", flush=True)
     return dt
-
-def time_grad(model, state, batch, iters=10, label="fwd+bwd"):
-    """value_and_grad only (no optimizer) chained."""
-    from simpleaicv_pytorch_training_examples_tpu.classification import losses
-    crit = losses.CELoss()
-    imgs = batch["image"].astype(jnp.bfloat16)
-    labels = batch["label"]
-    def loss_fn(params, x):
-        out = model.apply({"params": params, **state.variables}, x,
-                          train=True,
-                          rngs={"dropout": jax.random.PRNGKey(0),
-                                "droppath": jax.random.PRNGKey(1)})
-        return crit(out, labels)
-    gfn = jax.value_and_grad(loss_fn)
-    @jax.jit
-    def chain(params, imgs):
-        def body(i, carry):
-            acc, x = carry
-            loss, grads = gfn(params, x)
-            gsum = sum(g.astype(jnp.float32).sum()
-                       for g in jax.tree_util.tree_leaves(grads))
-            acc = acc + loss.astype(jnp.float32) + 0.0 * gsum
-            x = imgs * (1.0 + 1e-9 * acc.astype(imgs.dtype))
-            return acc, x
-        acc, _ = jax.lax.fori_loop(0, iters, body,
-                                   (jnp.zeros((), jnp.float32), imgs))
-        return acc
-    t0 = time.time(); float(chain(state.params, imgs)); tc = time.time()-t0
-    t0 = time.perf_counter(); float(chain(state.params, imgs))
-    dt = (time.perf_counter() - t0) / iters
-    bs = imgs.shape[0]
-    mfu = 3.0 * 17.58e9 * bs / dt / PEAK
-    print(f"{label}: {dt*1e3:.1f} ms  {bs/dt:.0f} img/s  mfu={mfu:.3f}"
-          f"  (compile+1st {tc:.1f}s)")
-    return dt
-
-if __name__ == "__main__":
-    pass
