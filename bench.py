@@ -231,10 +231,15 @@ def bench_vit_train():
 
     batch_size = 256
     # flax mixed precision: params stay fp32 (init dtype), layer compute
-    # in bf16 — measured +12% over fp32-module compute (705 vs 628 img/s)
-    # with an identical loss trajectory on synthetic overfit
+    # in bf16 (+12% over fp32-module compute, identical loss trajectory
+    # on synthetic overfit); bf16 softmax (362 -> 280 ms/step) and the
+    # pallas lane-aligned fused attention (280.5 -> 209.0 ms/step, the
+    # layout-copy category collapses 47 -> 0 ms — see
+    # ops/pallas/fused_attention.py) match the 0.* ViT train configs
     model = backbones.vit_base_patch16(num_classes=1000,
-                                       dtype=jnp.bfloat16)
+                                       dtype=jnp.bfloat16,
+                                       softmax_dtype=jnp.bfloat16,
+                                       use_fused_attention=True)
     params, variables = init_model(model, (2, 224, 224, 3),
                                    jax.random.PRNGKey(0))
 

@@ -21,8 +21,8 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..common import (Dropout, DropPath, Mlp, MultiHeadSelfAttention,
-                      trunc_normal)
+from ..common import (Dropout, DropPath, FusedLayerNorm, Mlp,
+                      MultiHeadSelfAttention, trunc_normal)
 
 __all__ = ["vit_base_patch16", "vit_large_patch16", "vit_huge_patch14"]
 
@@ -35,18 +35,21 @@ class TransformerEncoderLayer(nn.Module):
     dtype: Any = jnp.float32
     softmax_dtype: Any = jnp.float32
     use_fused_attention: bool = False
+    use_fused_norm: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c = x.shape[-1]
         dp = DropPath(self.drop_path_prob)
-        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        h = FusedLayerNorm(epsilon=1e-6, dtype=self.dtype,
+                           use_fused=self.use_fused_norm, name="norm1")(x)
         h = MultiHeadSelfAttention(self.head_nums, self.dropout_prob,
                                    self.dtype, self.softmax_dtype,
                                    self.use_fused_attention,
                                    name="attn")(h, train)
         x = x + dp(h, train)
-        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        h = FusedLayerNorm(epsilon=1e-6, dtype=self.dtype,
+                           use_fused=self.use_fused_norm, name="norm2")(x)
         h = Mlp(c * self.feedforward_ratio, c, self.dropout_prob,
                 dtype=self.dtype, name="mlp")(h, train)
         x = x + dp(h, train)
@@ -68,6 +71,7 @@ class ViT(nn.Module):
     dtype: Any = jnp.float32
     softmax_dtype: Any = jnp.float32
     use_fused_attention: bool = False
+    use_fused_norm: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -102,7 +106,7 @@ class ViT(nn.Module):
             x = block(self.head_nums, self.feedforward_ratio,
                       self.dropout_prob, dpp, self.dtype,
                       self.softmax_dtype, self.use_fused_attention,
-                      name=f"block_{i}")(x, train)
+                      self.use_fused_norm, name=f"block_{i}")(x, train)
 
         if self.global_pool:
             x = x[:, 1:, :].mean(axis=1)

@@ -106,6 +106,26 @@ class Dropout(nn.Module):
         return x * mask / keep
 
 
+class FusedLayerNorm(nn.Module):
+    """LayerNorm that can route through the ops/pallas fused kernel on
+    TPU (use_fused=True; fp32 stats computed in VMEM, one pass per
+    direction). Param names `scale`/`bias` match flax nn.LayerNorm so
+    checkpoints are interchangeable; off-TPU it is numerically the plain
+    fp32-stats LayerNorm."""
+    epsilon: float = 1e-6
+    dtype: Any = jnp.float32
+    use_fused: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        from ..ops.pallas.layer_norm import layer_norm
+        return layer_norm(x.astype(self.dtype), scale, bias,
+                          eps=self.epsilon, force_pallas=self.use_fused)
+
+
 class Mlp(nn.Module):
     """Transformer feed-forward: Linear -> GELU -> Linear (+dropout)."""
     hidden_planes: int
@@ -153,18 +173,26 @@ class MultiHeadSelfAttention(nn.Module):
         head_dim = c // self.head_nums
         qkv = nn.Dense(3 * c, dtype=self.dtype,
                        kernel_init=trunc_normal(0.02), name="qkv")(x)
-        qkv = qkv.reshape(b, n, 3, self.head_nums, head_dim)
         # attention dropout is only live in a handful of configs; the
         # fused kernel has no in-probs dropout, so keep XLA there
         fuse = self.use_fused_attention and \
             not (train and self.dropout_prob > 0.0)
-        if fuse:
+        if fuse and head_dim in (64, 128):
+            # layout-native path: the [B,N,3C] Dense output feeds the
+            # kernel untouched and [B,N,C] comes back ready for proj —
+            # no HBM layout copies (see ops/pallas/fused_attention.py)
+            from ..ops.pallas.fused_attention import fused_attention_dense
+            out = fused_attention_dense(qkv, self.head_nums,
+                                        force_pallas=True)
+        elif fuse:
             from ..ops.pallas.fused_attention import fused_attention
+            qkv = qkv.reshape(b, n, 3, self.head_nums, head_dim)
             qkv = qkv.transpose(2, 0, 3, 1, 4)  # [3, B, H, N, D]
             out = fused_attention(qkv[0], qkv[1], qkv[2],
                                   force_pallas=True)
             out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
         else:
+            qkv = qkv.reshape(b, n, 3, self.head_nums, head_dim)
             q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B,N,H,D]
             attn = jnp.einsum("bnhd,bmhd->bhnm", q, k,
                               preferred_element_type=self.softmax_dtype)

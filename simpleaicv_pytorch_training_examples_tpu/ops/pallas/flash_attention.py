@@ -19,8 +19,12 @@ Measured on v5e, bf16:
 - SAM encoder shape (B8 H12 N4096 D64): fwd 10.7 ms vs XLA 8.7 (XLA keeps
   the inference path), fwd+bwd 30.2 ms vs XLA 67.3 — 2.2x for training;
 - SAM2 memory shape at the production head width (B1 H1 4096 q x
-  28736 kv x 256 d + key bias, blocks 1024^2): fwd 9.9 ms vs XLA 12.5
-  (1.27x), fwd+bwd 13.2 vs 14.9 ms (1.13x) — plus the activation-memory
+  28736 kv x 256 d + key bias, blocks 1024^2): fwd 2.18 ms vs XLA 3.39
+  (1.56x), fwd+bwd 4.78 vs 6.39 ms (1.34x) — re-measured round 3 in a
+  python dispatch loop whose ~1.4 ms/call tunnel overhead inflates both
+  sides (the device trace puts XLA fwd at 2.03 ms, i.e. the on-device
+  ratios are higher); block sweep at this shape: bq1024/bk1024 best of
+  {512..4096}^2 (tools/perf/exp_round3c.py). Plus the activation-memory
   win: the [4096, 28736] probability matrix never reaches HBM, which is
   what lets larger batch/frame counts fit at all. (At d=64 the same
   shape measures 1.7-1.8x.);

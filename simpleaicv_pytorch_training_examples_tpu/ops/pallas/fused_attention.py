@@ -201,6 +201,214 @@ def fused_attention(q, k, v, n_real=None, block_heads=8,
     return out.reshape(b, h, n, d)
 
 
+# ------------------------------------------- lane-aligned packed variant
+# Zero-HBM-layout-copy attention over the NATIVE Dense layouts: input is
+# the fused-qkv Dense output [B, N, 3C] untouched, output is [B, N, C]
+# ready for the proj Dense. The round-3 step trace showed 47 ms/step of
+# pure layout copies around the [B,H,N,D] kernel (transposes + their VJP
+# twins) in a 270 ms ViT-B bs256 step — this variant removes all of them.
+#
+# The trick that makes Mosaic happy: blocks keep (n, C) as the trailing
+# (sublane, lane) dims, and heads are processed as 128-lane TILES. For
+# d=64 a tile holds a PAIR of heads; contracting "only head 2j's lanes"
+# is done by zeroing the other head's 64 lanes of k (or v / q / ds) with
+# a constant lane mask before a full 128-lane dot — algebraically exact,
+# and free on the MXU, which pads 64-lane contractions to 128 anyway.
+# Every slice/store is 128-aligned, so no unsupported relayouts.
+#
+# Measured v5e bf16, full ViT-B/16 bs256 train step: 209.0 ms/step
+# (1225 img/s, MFU 0.328) vs 273.9 with the transpose-wrapped kernel and
+# 280.5 with XLA attention — the step's layout-copy category collapses
+# from 47 ms to ~0 (tools/perf/analyze_xplane.py over /tmp/trace_pairs);
+# in-situ kernel cost is ~1.0 ms fwd / ~1.8 ms bwd per layer-batch.
+
+
+def _mask_pair(n, lane, lo):
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, lane), 1)
+    keep = (col < lane // 2) if lo else (col >= lane // 2)
+    return keep
+
+
+def _fwd_kernel_pairs(qkv_ref, o_ref, *, c, hpt, n_real, n_pad, sm_scale):
+    """qkv_ref block (1, n, 3C); o_ref block (1, n, C). hpt = heads per
+    128-lane tile (2 for d=64, 1 for d=128)."""
+    lane = 128
+    qkv = qkv_ref[0]
+    kmask = None
+    if n_real < n_pad:
+        col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
+        kmask = jnp.where(col < n_real, 0.0, _NEG_INF).astype(jnp.float32)
+    if hpt == 2:
+        m_lo = _mask_pair(n_pad, lane, True)
+        m_hi = _mask_pair(n_pad, lane, False)
+    for j in range(c // lane):
+        qp = qkv[:, j * lane:(j + 1) * lane]
+        kp = qkv[:, c + j * lane:c + (j + 1) * lane]
+        vp = qkv[:, 2 * c + j * lane:2 * c + (j + 1) * lane]
+        if hpt == 1:
+            parts = [(kp, vp, None)]
+        else:
+            zero = jnp.zeros((), qp.dtype)
+            parts = [(jnp.where(m_lo, kp, zero), vp, m_lo),
+                     (jnp.where(m_hi, kp, zero), vp, m_hi)]
+        acc = None
+        for k_h, vp_full, m in parts:
+            s = jax.lax.dot_general(
+                qp, k_h, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * sm_scale
+            if kmask is not None:
+                s = s + kmask
+            mx = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - mx)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            p = (p / l).astype(qp.dtype)
+            v_h = vp_full if m is None else jnp.where(m, vp_full,
+                                                      jnp.zeros((),
+                                                                qp.dtype))
+            o = jax.lax.dot_general(
+                p, v_h, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc = o if acc is None else acc + o
+        o_ref[0, :, j * lane:(j + 1) * lane] = acc.astype(o_ref.dtype)
+
+
+def _bwd_kernel_pairs(qkv_ref, do_ref, dqkv_ref, *, c, hpt, n_real,
+                      n_pad, sm_scale):
+    lane = 128
+    qkv = qkv_ref[0]
+    do_full = do_ref[0]
+    kmask = None
+    if n_real < n_pad:
+        col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
+        kmask = jnp.where(col < n_real, 0.0, _NEG_INF).astype(jnp.float32)
+    if hpt == 2:
+        m_lo = _mask_pair(n_pad, lane, True)
+        m_hi = _mask_pair(n_pad, lane, False)
+        masks = [m_lo, m_hi]
+    else:
+        masks = [None]
+    for j in range(c // lane):
+        sl = slice(j * lane, (j + 1) * lane)
+        qp = qkv[:, sl]
+        kp = qkv[:, c + j * lane:c + (j + 1) * lane]
+        vp = qkv[:, 2 * c + j * lane:2 * c + (j + 1) * lane]
+        do_p = do_full[:, sl]
+        dq = dk = dv = None
+        zero = jnp.zeros((), qp.dtype)
+        for m in masks:
+            k_h = kp if m is None else jnp.where(m, kp, zero)
+            do_h = do_p if m is None else jnp.where(m, do_p, zero)
+            q_h = qp if m is None else jnp.where(m, qp, zero)
+            s = jax.lax.dot_general(
+                qp, k_h, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * sm_scale
+            if kmask is not None:
+                s = s + kmask
+            mx = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - mx)
+            l = jnp.sum(e, axis=-1, keepdims=True)
+            p = e / l
+            pb = p.astype(qp.dtype)
+            dv_h = jax.lax.dot_general(
+                pb, do_h, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dp = jax.lax.dot_general(
+                do_h, vp, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            row = jnp.sum(dp * p, axis=-1, keepdims=True)
+            ds = (p * (dp - row) * sm_scale).astype(qp.dtype)
+            dq_h = jax.lax.dot_general(
+                ds, k_h, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dk_h = jax.lax.dot_general(
+                ds, q_h, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dq = dq_h if dq is None else dq + dq_h
+            dk = dk_h if dk is None else dk + dk_h
+            dv = dv_h if dv is None else dv + dv_h
+        dqkv_ref[0, :, sl] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, c + j * lane:c + (j + 1) * lane] = \
+            dk.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, 2 * c + j * lane:2 * c + (j + 1) * lane] = \
+            dv.astype(dqkv_ref.dtype)
+
+
+def _pallas_fwd_pairs(qkv, c, hpt, n_real, sm_scale, interpret):
+    b, n, c3 = qkv.shape
+    grid = (b,)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_pairs, c=c, hpt=hpt, n_real=n_real,
+                          n_pad=n, sm_scale=sm_scale),
+        grid=grid,
+        in_specs=[pl.BlockSpec((1, n, c3), lambda i: (i, 0, 0))],
+        out_specs=pl.BlockSpec((1, n, c), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n, c), qkv.dtype),
+        interpret=interpret,
+    )(qkv)
+
+
+def _pallas_bwd_pairs(qkv, do3, c, hpt, n_real, sm_scale, interpret):
+    b, n, c3 = qkv.shape
+    grid = (b,)
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel_pairs, c=c, hpt=hpt, n_real=n_real,
+                          n_pad=n, sm_scale=sm_scale),
+        grid=grid,
+        in_specs=[pl.BlockSpec((1, n, c3), lambda i: (i, 0, 0)),
+                  pl.BlockSpec((1, n, c), lambda i: (i, 0, 0))],
+        out_specs=pl.BlockSpec((1, n, c3), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct(qkv.shape, qkv.dtype),
+        interpret=interpret,
+    )(qkv, do3)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def _fused_pairs(qkv, c, hpt, n_real, interpret):
+    sm_scale = (128 // hpt) ** -0.5
+    return _pallas_fwd_pairs(qkv, c, hpt, n_real, sm_scale, interpret)
+
+
+def _fused_pairs_fwd(qkv, c, hpt, n_real, interpret):
+    return _fused_pairs(qkv, c, hpt, n_real, interpret), (qkv,)
+
+
+def _fused_pairs_bwd(c, hpt, n_real, interpret, res, g_out):
+    (qkv,) = res
+    sm_scale = (128 // hpt) ** -0.5
+    dqkv = _pallas_bwd_pairs(qkv, g_out.astype(qkv.dtype), c, hpt,
+                             n_real, sm_scale, interpret)
+    return (dqkv,)
+
+
+_fused_pairs.defvjp(_fused_pairs_fwd, _fused_pairs_bwd)
+
+
+def fused_attention_dense(qkv, head_nums, n_real=None,
+                          force_pallas=False, interpret=False):
+    """Self-attention straight over the fused-qkv Dense output [B, N, 3C]
+    (column order [3, H, D], i.e. reshape(B,N,3,H,D)-compatible); returns
+    [B, N, C]. Head dim must be 64 or 128 for the pallas path (lane-tile
+    alignment); anything else / off-TPU falls back to XLA."""
+    b, n, c3 = qkv.shape
+    c = c3 // 3
+    d = c // head_nums
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    use_pallas = (interpret or
+                  (force_pallas and on_tpu and d in (64, 128)
+                   and n <= 1024))
+    if not use_pallas or d not in (64, 128):
+        qkv5 = qkv.reshape(b, n, 3, head_nums, d)
+        q, k, v = (qkv5[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+        out = _reference(q, k, v,
+                         n_real if n_real is not None and n_real < n
+                         else None)
+        return out.transpose(0, 2, 1, 3).reshape(b, n, c)
+
+    n_real = n if n_real is None else min(n_real, n)
+    hpt = 128 // d
+    return _fused_pairs(qkv, c, hpt, n_real, interpret)
+
+
 # ------------------------------------------------- packed-qkv variant
 # The [B,H,N,D] API above still pays HBM layout copies around the kernel:
 # a fused-qkv Dense emits [B,N,3,H,D], and transposing that to [3,B,H,N,D]

@@ -173,7 +173,16 @@ def layer_norm(x, gamma, beta, eps=1e-6, block_tokens=512,
     orig_shape = x.shape
     x2 = x.reshape(-1, c)
     t = x2.shape[0]
-    bt = min(block_tokens, _round_up(t, 8))
+    # prefer a block size that divides t exactly: jnp.pad here would
+    # stream the whole activation through HBM twice (~1.3 ms per norm at
+    # ViT-B bs256 on the measured ~241 GB/s), wiping out any kernel win
+    bt = None
+    for cand in range(min(block_tokens, t), 7, -1):
+        if t % cand == 0 and cand % 8 == 0:
+            bt = cand
+            break
+    if bt is None:
+        bt = min(block_tokens, _round_up(t, 8))
     t_pad = _round_up(t, bt)
     if t_pad != t:
         x2 = jnp.pad(x2, ((0, t_pad - t), (0, 0)))

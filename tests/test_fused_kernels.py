@@ -220,3 +220,73 @@ def test_fused_attention_packed_head_groups():
     out = fused_attention_qkv(qkv, block_heads=4, interpret=True)
     np.testing.assert_allclose(np.asarray(out),
                                np.asarray(unpack_ref(qkv)), atol=1e-5)
+
+
+def test_fused_attention_dense_interpret_exact():
+    """Lane-aligned [B,N,3C] variant (head PAIRS per 128-lane tile at
+    d=64): fwd + packed bwd vs autodiff of the reference."""
+    import jax
+    import jax.numpy as jnp
+    from simpleaicv_pytorch_training_examples_tpu.ops.pallas.fused_attention import (
+        fused_attention_dense)
+
+    rs = np.random.RandomState(9)
+    b, n, h, d = 2, 21, 4, 64      # ragged n, 2 head-pairs
+    c = h * d
+    qkv = jnp.asarray(rs.randn(b, n, 3 * c), jnp.float32)
+
+    def ref(qkv):
+        qkv5 = qkv.reshape(b, n, 3, h, d)
+        q, k, v = (qkv5[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+        return _ref_attn(q, k, v).transpose(0, 2, 1, 3).reshape(b, n, c)
+
+    out = fused_attention_dense(qkv, h, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref(qkv)),
+                               atol=1e-5)
+
+    gk = jax.grad(lambda t: jnp.sum(
+        fused_attention_dense(t, h, interpret=True) ** 2))(qkv)
+    gr = jax.grad(lambda t: jnp.sum(ref(t) ** 2))(qkv)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), atol=5e-5)
+
+
+def test_fused_attention_dense_d128_and_padmask():
+    """hpt=1 (d=128) path + n_real trailing-key masking."""
+    import jax.numpy as jnp
+    from simpleaicv_pytorch_training_examples_tpu.ops.pallas.fused_attention import (
+        fused_attention_dense)
+
+    rs = np.random.RandomState(10)
+    b, n, h, d = 1, 16, 2, 128
+    c = h * d
+    n_real = 11
+    qkv = jnp.asarray(rs.randn(b, n, 3 * c), jnp.float32)
+
+    def ref(qkv, n_keys):
+        qkv5 = qkv.reshape(b, n, 3, h, d)
+        q = qkv5[:, :, 0].transpose(0, 2, 1, 3)
+        k = qkv5[:, :n_keys, 1].transpose(0, 2, 1, 3)
+        v = qkv5[:, :n_keys, 2].transpose(0, 2, 1, 3)
+        return _ref_attn(q, k, v).transpose(0, 2, 1, 3).reshape(b, n, c)
+
+    got = fused_attention_dense(qkv, h, n_real=n_real, interpret=True)
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(ref(qkv, n_real)), atol=1e-5)
+
+
+def test_fused_attention_dense_vit_block_cpu_parity():
+    """MultiHeadSelfAttention with the flag on CPU (fallback) matches the
+    plain path bit-for-bit at d=64."""
+    import jax
+    import jax.numpy as jnp
+    from simpleaicv_pytorch_training_examples_tpu.models.common import (
+        MultiHeadSelfAttention)
+
+    rs = np.random.RandomState(11)
+    x = jnp.asarray(rs.randn(2, 9, 128), jnp.float32)  # h=2, d=64
+    m_plain = MultiHeadSelfAttention(head_nums=2)
+    m_fused = MultiHeadSelfAttention(head_nums=2, use_fused_attention=True)
+    params = m_plain.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_allclose(
+        np.asarray(m_fused.apply(params, x)),
+        np.asarray(m_plain.apply(params, x)), atol=1e-6)
