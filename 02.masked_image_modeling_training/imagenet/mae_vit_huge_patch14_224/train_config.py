@@ -30,7 +30,8 @@ class config:
     network = "vit_huge_patch14_224_mae_pretrain_model"
     input_image_size = 224
 
-    model = models.__dict__[network](use_gradient_checkpoint=True)
+    model = models.__dict__[network](use_gradient_checkpoint=True,
+                                     use_fused_attention=True)
 
     trained_model_path = ""
     load_state_dict(trained_model_path, model)

@@ -30,7 +30,11 @@ class config:
     network = "vit_base_patch16_224_mae_pretrain_model"
     input_image_size = 224
 
-    model = models.__dict__[network]()
+    model = models.__dict__[network](**{
+        # pallas fused short-N attention where head_dim is 64/128
+        # (vit_b/l encoders); other widths fall back to XLA automatically
+        "use_fused_attention": True,
+    })
 
     trained_model_path = ""
     load_state_dict(trained_model_path, model)

@@ -64,6 +64,7 @@ class VITMAEPretrainModelEncoder(nn.Module):
     dropout_prob: float = 0.0
     use_gradient_checkpoint: bool = False
     dtype: Any = jnp.float32
+    use_fused_attention: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -111,6 +112,7 @@ class VITMAEPretrainModelEncoder(nn.Module):
         for i in range(self.block_nums):
             x = block(self.head_nums, self.feedforward_ratio,
                       self.dropout_prob, 0.0, self.dtype,
+                      use_fused_attention=self.use_fused_attention,
                       name=f"block_{i}")(x, train)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         return x, mask, restore_ids
@@ -127,6 +129,7 @@ class VITMAEPretrainModelDecoder(nn.Module):
     dropout_prob: float = 0.0
     use_gradient_checkpoint: bool = False
     dtype: Any = jnp.float32
+    use_fused_attention: bool = False
 
     @nn.compact
     def __call__(self, x, restore_ids, train: bool = False):
@@ -155,6 +158,7 @@ class VITMAEPretrainModelDecoder(nn.Module):
         for i in range(self.block_nums):
             x = block(self.head_nums, self.feedforward_ratio,
                       self.dropout_prob, 0.0, self.dtype,
+                      use_fused_attention=self.use_fused_attention,
                       name=f"block_{i}")(x, train)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         x = nn.Dense(self.patch_size**2 * 3, dtype=jnp.float32,
@@ -179,6 +183,7 @@ class VITMAEPretrainModel(nn.Module):
     decoder_dropout_prob: float = 0.0
     use_gradient_checkpoint: bool = False
     dtype: Any = jnp.float32
+    use_fused_attention: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -187,14 +192,15 @@ class VITMAEPretrainModel(nn.Module):
             self.encoder_block_nums, self.encoder_head_nums,
             self.encoder_feedforward_ratio, self.mask_ratio,
             self.encoder_dropout_prob, self.use_gradient_checkpoint,
-            self.dtype, name="encoder")(x, train)
+            self.dtype, self.use_fused_attention, name="encoder")(x, train)
         pred = VITMAEPretrainModelDecoder(
             self.patch_size, self.image_size,
             self.encoder_embedding_planes, self.decoder_embedding_planes,
             self.decoder_block_nums, self.decoder_head_nums,
             self.decoder_feedforward_ratio, self.decoder_dropout_prob,
             self.use_gradient_checkpoint, self.dtype,
-            name="decoder")(latents, restore_ids, train)
+            self.use_fused_attention, name="decoder")(latents, restore_ids,
+                                                      train)
         return pred, mask
 
 

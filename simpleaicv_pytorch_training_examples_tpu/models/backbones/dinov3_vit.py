@@ -114,6 +114,7 @@ class DINOv3SelfAttention(nn.Module):
     qkv_bias: bool = True
     proj_bias: bool = True
     dtype: Any = jnp.float32
+    use_fused_attention: bool = False
 
     @nn.compact
     def __call__(self, x, rope=None):
@@ -136,10 +137,17 @@ class DINOv3SelfAttention(nn.Module):
             k = jnp.concatenate(
                 [k[:, :, :prefix], rope_apply(k[:, :, prefix:], sin, cos)],
                 axis=2).astype(self.dtype)
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
-                          preferred_element_type=jnp.float32) * (hd**-0.5)
-        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        if self.use_fused_attention and hd <= 128 and n <= 1024:
+            # in-VMEM fused scores/softmax/value kernel (XLA fallback
+            # off-TPU); the [B,H,N,D] transposes above are already paid,
+            # so this is a pure score-matrix-HBM-traffic win
+            from ...ops.pallas.fused_attention import fused_attention
+            out = fused_attention(q, k, v, force_pallas=True)
+        else:
+            attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                              preferred_element_type=jnp.float32) * (hd**-0.5)
+            attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
         return nn.Dense(c, use_bias=self.proj_bias, dtype=self.dtype,
                         kernel_init=trunc_normal(0.02), name="proj")(out)
@@ -151,12 +159,14 @@ class DINOv3Block(nn.Module):
     layerscale_init: float = 1e-5
     ffn_layer: str = "mlp"
     dtype: Any = jnp.float32
+    use_fused_attention: bool = False
 
     @nn.compact
     def __call__(self, x, rope=None):
         c = x.shape[-1]
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         h = DINOv3SelfAttention(self.head_nums, dtype=self.dtype,
+                                use_fused_attention=self.use_fused_attention,
                                 name="attn")(h, rope)
         x = x + LayerScale(self.layerscale_init, name="ls1")(h)
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
@@ -189,6 +199,7 @@ class DinoVisionTransformer(nn.Module):
     rope_rescale_coords: Optional[float] = 2.0
     use_gradient_checkpoint: bool = False
     dtype: Any = jnp.float32
+    use_fused_attention: bool = False
 
     @property
     def out_channels(self):
@@ -244,6 +255,7 @@ class DinoVisionTransformer(nn.Module):
                     [extra_tokens.astype(x.dtype), x], axis=1)
             x = block_cls(self.head_nums, self.ffn_ratio,
                           self.layerscale_init, self.ffn_layer, self.dtype,
+                          self.use_fused_attention,
                           name=f"block_{i}")(x, rope)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         if extra_tokens is not None:
@@ -317,6 +329,7 @@ class DINOv3MultiScaleBackbone(nn.Module):
     planes: int = 256
     use_gradient_checkpoint: bool = False
     dtype: Any = jnp.float32
+    use_fused_attention: bool = False
 
     @property
     def out_channels(self):

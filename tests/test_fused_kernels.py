@@ -290,3 +290,39 @@ def test_fused_attention_dense_vit_block_cpu_parity():
     np.testing.assert_allclose(
         np.asarray(m_fused.apply(params, x)),
         np.asarray(m_plain.apply(params, x)), atol=1e-6)
+
+
+def test_fused_attention_flag_dinov3_and_mae_parity():
+    """use_fused_attention on DINOv3 (post-RoPE [B,H,N,D] path) and the
+    MAE encoder/decoder is numerically the plain path on CPU (fallback),
+    so enabling it in configs cannot change off-TPU results."""
+    import jax
+    import jax.numpy as jnp
+    from simpleaicv_pytorch_training_examples_tpu.models.backbones.dinov3_vit import (
+        DinoVisionTransformer)
+
+    rs = np.random.RandomState(12)
+    kw = dict(patch_size=16, embedding_planes=128, block_nums=2,
+              head_nums=2)
+    d1 = DinoVisionTransformer(**kw)
+    d2 = DinoVisionTransformer(use_fused_attention=True, **kw)
+    x = jnp.asarray(rs.rand(1, 64, 64, 3), jnp.float32)
+    v = d1.init(jax.random.PRNGKey(0), x)
+    a1 = d1.apply(v, x)
+    a2 = d2.apply(v, x)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=1e-5)
+
+    from simpleaicv_pytorch_training_examples_tpu.masked_image_modeling.models.vit_mae import (
+        VITMAEPretrainModel)
+    mae_kw = dict(encoder_embedding_planes=128, encoder_block_nums=2,
+                  encoder_head_nums=2, decoder_embedding_planes=128,
+                  decoder_block_nums=2, decoder_head_nums=2,
+                  image_size=64)
+    m1 = VITMAEPretrainModel(**mae_kw)
+    m2 = VITMAEPretrainModel(use_fused_attention=True, **mae_kw)
+    xi = jnp.asarray(rs.rand(2, 64, 64, 3), jnp.float32)
+    vm = m1.init({"params": jax.random.PRNGKey(0),
+                  "masking": jax.random.PRNGKey(1)}, xi)
+    o1, _ = m1.apply(vm, xi)
+    o2, _ = m2.apply(vm, xi)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-5)
