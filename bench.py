@@ -147,7 +147,7 @@ def bench_retinanet_int8():
         resnet50_retinanet)
     from simpleaicv_pytorch_training_examples_tpu.engine import init_model
     from simpleaicv_pytorch_training_examples_tpu.ops.int8 import (
-        int8_apply, quantize_conv_kernels)
+        calibrate_activation_scales, int8_apply, quantize_conv_kernels)
 
     batch_size = 48
     model = resnet50_retinanet(num_classes=80, dtype=jnp.bfloat16)
@@ -155,13 +155,21 @@ def bench_retinanet_int8():
                                    jax.random.PRNGKey(0))
     qtable = quantize_conv_kernels(params)
 
+    # static per-tensor calibration (the fast mode): without it the
+    # per-image absmax reductions cannot fuse and int8 measured SLOWER
+    # than bf16 at 1024^2 (150 vs 249 img/s). Calibrate on a 256^2 probe
+    # (per-tensor ranges transfer across resolutions for conv stacks).
     rs = np.random.RandomState(0)
-    probe = jnp.asarray(rs.rand(1, 256, 256, 3), jnp.bfloat16)
+    probe = jnp.asarray(rs.rand(2, 256, 256, 3), jnp.bfloat16)
+    scales = calibrate_activation_scales(
+        model, {"params": params, **variables}, qtable, [(probe,)],
+        train=False)
+
     fp_cls, _ = jax.jit(lambda p, x: model.apply(
         {"params": p, **variables}, x, train=False))(params, probe)
     q_cls, _ = jax.jit(lambda p, x: int8_apply(
-        model, {"params": p, **variables}, qtable, x, train=False))(
-            params, probe)
+        model, {"params": p, **variables}, qtable, x,
+        act_scales=scales, train=False))(params, probe)
     corr = float(np.corrcoef(
         np.concatenate([np.asarray(h, np.float32).ravel()
                         for h in fp_cls]),
@@ -171,7 +179,7 @@ def bench_retinanet_int8():
     def apply_fn(params, imgs):
         cls_heads, reg_heads = int8_apply(
             model, {"params": params, **variables}, qtable, imgs,
-            train=False)
+            act_scales=scales, train=False)
         total = sum(h.astype(jnp.float32).sum() for h in cls_heads)
         total = total + sum(h.astype(jnp.float32).sum() for h in reg_heads)
         return total

@@ -40,14 +40,49 @@ class TransformerEncoderLayer(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         c = x.shape[-1]
+        head_dim = c // self.head_nums
         dp = DropPath(self.drop_path_prob)
-        h = FusedLayerNorm(epsilon=1e-6, dtype=self.dtype,
-                           use_fused=self.use_fused_norm, name="norm1")(x)
-        h = MultiHeadSelfAttention(self.head_nums, self.dropout_prob,
-                                   self.dtype, self.softmax_dtype,
-                                   self.use_fused_attention,
-                                   name="attn")(h, train)
-        x = x + dp(h, train)
+        # whole-block fused kernel (LN1+qkv+attn+proj+residual in one
+        # pallas call, ops/pallas/attn_block.py): applies when the
+        # residual path is exact (no live drop-path/dropout — the kernel
+        # fuses the residual add) and the head geometry fits the
+        # lane-tile layout. Param tree is unchanged: the submodules are
+        # created as usual (tiny dummy call, DCE'd) and the kernel reads
+        # their tensors.
+        fuse_block = (self.use_fused_attention
+                      and head_dim in (64, 128) and x.shape[1] <= 1024
+                      and not (train and (self.dropout_prob > 0.0
+                                          or self.drop_path_prob > 0.0)))
+        if fuse_block:
+            from ...ops.pallas.attn_block import attn_block
+            norm1 = FusedLayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                   use_fused=self.use_fused_norm,
+                                   name="norm1")
+            attn = MultiHeadSelfAttention(self.head_nums,
+                                          self.dropout_prob, self.dtype,
+                                          self.softmax_dtype,
+                                          self.use_fused_attention,
+                                          name="attn")
+            _ = norm1(x[:1, :1])
+            _ = attn(x[:1, :1], False)
+            ap = attn.variables["params"]
+            np_ = norm1.variables["params"]
+            x = attn_block(
+                x, ap["qkv"]["kernel"].astype(self.dtype),
+                ap["qkv"]["bias"].astype(self.dtype),
+                ap["proj"]["kernel"].astype(self.dtype),
+                ap["proj"]["bias"].astype(self.dtype),
+                np_["scale"], np_["bias"], self.head_nums,
+                force_pallas=True)
+        else:
+            h = FusedLayerNorm(epsilon=1e-6, dtype=self.dtype,
+                               use_fused=self.use_fused_norm,
+                               name="norm1")(x)
+            h = MultiHeadSelfAttention(self.head_nums, self.dropout_prob,
+                                       self.dtype, self.softmax_dtype,
+                                       self.use_fused_attention,
+                                       name="attn")(h, train)
+            x = x + dp(h, train)
         h = FusedLayerNorm(epsilon=1e-6, dtype=self.dtype,
                            use_fused=self.use_fused_norm, name="norm2")(x)
         h = Mlp(c * self.feedforward_ratio, c, self.dropout_prob,

@@ -177,7 +177,7 @@ class MultiHeadSelfAttention(nn.Module):
         # fused kernel has no in-probs dropout, so keep XLA there
         fuse = self.use_fused_attention and \
             not (train and self.dropout_prob > 0.0)
-        if fuse and head_dim in (64, 128):
+        if fuse and head_dim in (64, 128) and n >= 8:
             # layout-native path: the [B,N,3C] Dense output feeds the
             # kernel untouched and [B,N,C] comes back ready for proj —
             # no HBM layout copies (see ops/pallas/fused_attention.py)

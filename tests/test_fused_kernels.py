@@ -326,3 +326,84 @@ def test_fused_attention_flag_dinov3_and_mae_parity():
     o1, _ = m1.apply(vm, xi)
     o2, _ = m2.apply(vm, xi)
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-5)
+
+
+def test_attn_block_interpret_fwd_bwd():
+    """One-kernel LN1+qkv+attention+proj+residual block: fwd and all 7
+    grads (dx + every weight) vs autodiff of the XLA composition."""
+    import jax
+    import jax.numpy as jnp
+    from simpleaicv_pytorch_training_examples_tpu.ops.pallas import attn_block as AB
+
+    rs = np.random.RandomState(13)
+    b, n, h, d = 2, 21, 4, 64
+    c = h * d
+    x = jnp.asarray(rs.randn(b, n, c) * 0.5, jnp.float32)
+    wqkv = jnp.asarray(rs.randn(c, 3 * c) * 0.05, jnp.float32)
+    bqkv = jnp.asarray(rs.randn(3 * c) * 0.02, jnp.float32)
+    wproj = jnp.asarray(rs.randn(c, c) * 0.05, jnp.float32)
+    bproj = jnp.asarray(rs.randn(c) * 0.02, jnp.float32)
+    gamma = jnp.asarray(1.0 + 0.1 * rs.randn(c), jnp.float32)
+    beta = jnp.asarray(0.1 * rs.randn(c), jnp.float32)
+    args = (x, wqkv, bqkv, wproj, bproj, gamma, beta)
+
+    got = AB.attn_block(*args, head_nums=h, interpret=True)
+    want = AB._reference_block(*args, head_nums=h, eps=1e-6)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4)
+
+    def loss_k(*a):
+        y = AB.attn_block(*a, head_nums=h, interpret=True)
+        return jnp.sum(y * y)
+
+    def loss_r(*a):
+        y = AB._reference_block(*a, head_nums=h, eps=1e-6)
+        return jnp.sum(y * y)
+
+    gk = jax.grad(loss_k, argnums=tuple(range(7)))(*args)
+    gr = jax.grad(loss_r, argnums=tuple(range(7)))(*args)
+    names = ["dx", "dwqkv", "dbqkv", "dwproj", "dbproj", "dgamma",
+             "dbeta"]
+    for nm, a, b_ in zip(names, gk, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=2e-3,
+            rtol=2e-3, err_msg=nm)
+
+
+def test_attn_block_in_vit_param_tree_and_parity():
+    """use_fused_attention routes whole blocks through attn_block when
+    drop-path is off: the param tree must be IDENTICAL to the plain
+    model (checkpoint/optimizer-rule compatibility) and fwd+grads must
+    match the plain path on CPU."""
+    import jax
+    import jax.numpy as jnp
+    import jax.tree_util as jtu
+    from simpleaicv_pytorch_training_examples_tpu.models.backbones.vit import ViT
+
+    kw = dict(patch_size=8, embedding_planes=128, block_nums=2,
+              head_nums=2, image_size=32, num_classes=5)
+    m1 = ViT(**kw)
+    m2 = ViT(use_fused_attention=True, **kw)
+    rs = np.random.RandomState(14)
+    x = jnp.asarray(rs.rand(2, 32, 32, 3), jnp.float32)
+    v = m1.init(jax.random.PRNGKey(0), x)
+    v2 = m2.init(jax.random.PRNGKey(0), x)
+    assert jtu.tree_structure(v) == jtu.tree_structure(v2)
+
+    o1 = m1.apply(v, x)
+    o2 = m2.apply(v, x)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=2e-4)
+
+    g1 = jax.grad(lambda v: (m1.apply(v, x) ** 2).sum())(v)
+    g2 = jax.grad(lambda v: (m2.apply(v, x) ** 2).sum())(v)
+    for p1, p2 in zip(jtu.tree_leaves(g1), jtu.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p2),
+                                   atol=5e-3, rtol=5e-3)
+
+    # with drop-path active in train mode the block must fall back to
+    # the composable path (the kernel fuses the residual): still runs
+    m3 = ViT(use_fused_attention=True, drop_path_prob=0.1, **kw)
+    o3 = m3.apply(v, x, train=True,
+                  rngs={"dropout": jax.random.PRNGKey(2),
+                        "droppath": jax.random.PRNGKey(3)})
+    assert np.isfinite(np.asarray(o3)).all()
