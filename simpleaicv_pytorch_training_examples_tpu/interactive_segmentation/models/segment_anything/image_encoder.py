@@ -97,6 +97,16 @@ class SAMAttention(nn.Module):
                 rel_h.reshape(b, nh, h * w, h),
                 rel_w.reshape(b, nh, h * w, w),
                 force_pallas=True)
+        elif self.use_flash and h * w <= 1024 and hd <= 128:
+            # windowed blocks (14x14=196 tokens): in-VMEM fused attention
+            # with the rel-pos bias materialized per window — the
+            # [196, 196] probs never reach HBM (ops/pallas
+            # fused_attention biased variant)
+            from ....ops.pallas.fused_attention import fused_attention
+            bias = (rel_h[:, :, :, :, :, None] +
+                    rel_w[:, :, :, :, None, :]).reshape(
+                        b, nh, h * w, h * w)
+            out = fused_attention(q, k, v, bias=bias, force_pallas=True)
         else:
             attn = attn.reshape(b, nh, h, w, h, w) + \
                 rel_h[:, :, :, :, :, None] + rel_w[:, :, :, :, None, :]

@@ -36,20 +36,24 @@ class TransformerEncoderLayer(nn.Module):
     softmax_dtype: Any = jnp.float32
     use_fused_attention: bool = False
     use_fused_norm: bool = False
+    # whole-block pallas kernel (ops/pallas/attn_block.py). Measured
+    # SLOWER than the default pairs-attention path on v5e (234.3 vs
+    # 209.0 ms/step ViT-B bs256): the qkv/proj matmuls are MXU-bound and
+    # lose batching efficiency when split into per-sample tiles, and the
+    # backward recomputes them. Kept opt-in as a measured negative
+    # result — the win lives in fusing the bandwidth-bound pieces only.
+    use_fused_block: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c = x.shape[-1]
         head_dim = c // self.head_nums
         dp = DropPath(self.drop_path_prob)
-        # whole-block fused kernel (LN1+qkv+attn+proj+residual in one
-        # pallas call, ops/pallas/attn_block.py): applies when the
-        # residual path is exact (no live drop-path/dropout — the kernel
-        # fuses the residual add) and the head geometry fits the
-        # lane-tile layout. Param tree is unchanged: the submodules are
-        # created as usual (tiny dummy call, DCE'd) and the kernel reads
-        # their tensors.
-        fuse_block = (self.use_fused_attention
+        # the kernel fuses the residual add, so it only applies when the
+        # residual path is exact (no live drop-path/dropout). Param tree
+        # is unchanged: the submodules are created as usual (tiny dummy
+        # call, DCE'd) and the kernel reads their tensors.
+        fuse_block = (self.use_fused_block
                       and head_dim in (64, 128) and x.shape[1] <= 1024
                       and not (train and (self.dropout_prob > 0.0
                                           or self.drop_path_prob > 0.0)))
@@ -107,6 +111,7 @@ class ViT(nn.Module):
     softmax_dtype: Any = jnp.float32
     use_fused_attention: bool = False
     use_fused_norm: bool = False
+    use_fused_block: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -141,7 +146,8 @@ class ViT(nn.Module):
             x = block(self.head_nums, self.feedforward_ratio,
                       self.dropout_prob, dpp, self.dtype,
                       self.softmax_dtype, self.use_fused_attention,
-                      self.use_fused_norm, name=f"block_{i}")(x, train)
+                      self.use_fused_norm, self.use_fused_block,
+                      name=f"block_{i}")(x, train)
 
         if self.global_pool:
             x = x[:, 1:, :].mean(axis=1)

@@ -19,9 +19,19 @@ columns before full-width dots — exact, and free on the MXU which pads
 
 Backward recomputes LN/qkv/probs from x (flash-style), so the only saved
 residual is x itself. It is split into two pallas calls to stay inside
-VMEM: K1 (proj bwd + attention bwd -> dqkv, dWproj, dbproj, dx does NOT
-include the qkv-Dense path yet), K2 (dWqkv/dbqkv + dxn -> LN bwd -> dx).
-See measured table at the bottom of the docstring after wiring.
+VMEM: K1 (proj bwd + attention bwd -> dqkv, dWproj, dbproj), K2
+(dWqkv/dbqkv + dxn -> LN bwd -> dx).
+
+MEASURED RESULT (v5e, ViT-B/16 bs256 full train step): 234.3 ms/step —
+SLOWER than the 209.0 ms of the separate pairs-attention kernel
+(fused_attention.py) + XLA Dense/LN. The step trace shows each fused
+block at 9.4 ms: the qkv/proj matmuls are MXU-bound, and splitting them
+into per-sample [197, C] tiles loses the batching efficiency XLA gets on
+the whole [B*N, C] matmul (plus the backward recompute doubles that
+cost). Lesson recorded: on this part, fuse the BANDWIDTH-bound glue
+(attention core, norms) and leave big matmuls batched in XLA. Kept
+opt-in (ViT use_fused_block) with full interpret-mode exactness tests as
+the starting point for chips where the balance differs.
 
 API: attn_block(x, wqkv, bqkv, wproj, bproj, gamma, beta, head_nums,
 eps=1e-6, force_pallas=False, interpret=False) with x [B, N, C]; weights

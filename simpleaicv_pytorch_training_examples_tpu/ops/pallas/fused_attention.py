@@ -171,19 +171,22 @@ _fused.defvjp(_fused_fwd, _fused_bwd)
 
 
 def fused_attention(q, k, v, n_real=None, block_heads=8,
-                    force_pallas=False, interpret=False):
+                    force_pallas=False, interpret=False, bias=None):
     """[B, H, N, D] self-attention fused entirely in VMEM (short N).
 
-    n_real (static int) masks trailing padded keys; defaults to N. Off-TPU,
+    n_real (static int) masks trailing padded keys; defaults to N.
+    bias (optional) is a full additive per-head score bias [B, H, N, N]
+    (e.g. the SAM windowed rel-pos bias) with gradient flow. Off-TPU,
     for D > 128, or N > 1024, falls back to plain XLA attention.
     interpret=True runs the kernel logic on CPU (tests)."""
     b, h, n, d = q.shape
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
     if not (interpret or
             (force_pallas and on_tpu and d <= 128 and n <= 1024)):
-        return _reference(q, k, v,
-                          n_real if n_real is not None and n_real < n
-                          else None)
+        out = _reference_bias(q, k, v, bias,
+                              n_real if n_real is not None and n_real < n
+                              else None)
+        return out
 
     # No HBM padding: Mosaic masks the ragged [n, d] tail inside VMEM
     # (jnp.pad here would stream the whole qkv through HBM again — ~3 ms
@@ -197,8 +200,159 @@ def fused_attention(q, k, v, n_real=None, block_heads=8,
     q3 = q.reshape(g_total, n, d)
     k3 = k.reshape(g_total, n, d)
     v3 = v.reshape(g_total, n, d)
-    out = _fused(q3, k3, v3, bg, n_real, n, interpret)
+    if bias is None:
+        out = _fused(q3, k3, v3, bg, n_real, n, interpret)
+    else:
+        b3 = jnp.broadcast_to(bias, (b, h, n, n)).reshape(g_total, n, n)
+        out = _fused_bias(q3, k3, v3, b3, bg, n_real, n, interpret)
     return out.reshape(b, h, n, d)
+
+
+def _reference_bias(q, k, v, bias, n_real):
+    if bias is None:
+        return _reference(q, k, v, n_real)
+    n_k = k.shape[2]
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32)
+    logits = logits * (q.shape[-1] ** -0.5) + bias.astype(jnp.float32)
+    if n_real is not None and n_real < n_k:
+        mask = jnp.arange(n_k) < n_real
+        logits = jnp.where(mask[None, None, None, :], logits, _NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+
+# ---------------------------------------------- biased variant (rel-pos)
+# Same in-VMEM fused attention, plus a full additive per-head score bias
+# [g, n, n] (the SAM windowed rel-pos bias, materialized once by XLA from
+# its decomposed rel_h/rel_w terms — cheap at window sizes). The bias
+# gets a real gradient (ds before the sm_scale factor), so the decomposed
+# terms train. The [n, n] probs still never reach HBM.
+
+
+def _fwd_kernel_bias(q_ref, k_ref, v_ref, b_ref, o_ref, *, bg, n_real,
+                     n_pad, sm_scale):
+    mask = None
+    if n_real < n_pad:
+        col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
+        mask = jnp.where(col < n_real, 0.0, _NEG_INF).astype(jnp.float32)
+    for g in range(bg):
+        q = q_ref[g]
+        k = k_ref[g]
+        v = v_ref[g]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale
+        s = s + b_ref[g].astype(jnp.float32)
+        if mask is not None:
+            s = s + mask
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        p = (p / l).astype(q.dtype)
+        o_ref[g] = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _bwd_kernel_bias(q_ref, k_ref, v_ref, b_ref, do_ref, dq_ref, dk_ref,
+                     dv_ref, db_ref, *, bg, n_real, n_pad, sm_scale):
+    mask = None
+    if n_real < n_pad:
+        col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
+        mask = jnp.where(col < n_real, 0.0, _NEG_INF).astype(jnp.float32)
+    for g in range(bg):
+        q = q_ref[g]
+        k = k_ref[g]
+        v = v_ref[g]
+        do = do_ref[g]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale
+        s = s + b_ref[g].astype(jnp.float32)
+        if mask is not None:
+            s = s + mask
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        l = jnp.sum(e, axis=-1, keepdims=True)
+        p = e / l
+        pb = p.astype(q.dtype)
+        dv_ref[g] = jax.lax.dot_general(
+            pb, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        row = jnp.sum(dp * p, axis=-1, keepdims=True)
+        ds0 = p * (dp - row)                   # d/dbias (no sm_scale)
+        db_ref[g] = ds0.astype(db_ref.dtype)
+        ds = (ds0 * sm_scale).astype(q.dtype)
+        dq_ref[g] = jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+        dk_ref[g] = jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+
+
+def _pallas_fwd_bias(q3, k3, v3, b3, bg, n_real, n_pad, sm_scale,
+                     interpret):
+    g_total, _, d = q3.shape
+    grid = (g_total // bg,)
+    spec = pl.BlockSpec((bg, n_pad, d), lambda i: (i, 0, 0))
+    bspec = pl.BlockSpec((bg, n_pad, n_pad), lambda i: (i, 0, 0))
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_bias, bg=bg, n_real=n_real,
+                          n_pad=n_pad, sm_scale=sm_scale),
+        grid=grid,
+        in_specs=[spec, spec, spec, bspec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct(q3.shape, q3.dtype),
+        interpret=interpret,
+    )(q3, k3, v3, b3)
+
+
+def _pallas_bwd_bias(q3, k3, v3, b3, do3, bg, n_real, n_pad, sm_scale,
+                     interpret):
+    g_total, _, d = q3.shape
+    grid = (g_total // bg,)
+    spec = pl.BlockSpec((bg, n_pad, d), lambda i: (i, 0, 0))
+    bspec = pl.BlockSpec((bg, n_pad, n_pad), lambda i: (i, 0, 0))
+    shape = jax.ShapeDtypeStruct(q3.shape, q3.dtype)
+    bshape = jax.ShapeDtypeStruct(b3.shape, b3.dtype)
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel_bias, bg=bg, n_real=n_real,
+                          n_pad=n_pad, sm_scale=sm_scale),
+        grid=grid,
+        in_specs=[spec, spec, spec, bspec, spec],
+        out_specs=[spec, spec, spec, bspec],
+        out_shape=[shape, shape, shape, bshape],
+        interpret=interpret,
+    )(q3, k3, v3, b3, do3)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _fused_bias(q3, k3, v3, b3, bg, n_real, n_pad, interpret):
+    sm_scale = q3.shape[-1] ** -0.5
+    return _pallas_fwd_bias(q3, k3, v3, b3, bg, n_real, n_pad, sm_scale,
+                            interpret)
+
+
+def _fused_bias_fwd(q3, k3, v3, b3, bg, n_real, n_pad, interpret):
+    return (_fused_bias(q3, k3, v3, b3, bg, n_real, n_pad, interpret),
+            (q3, k3, v3, b3))
+
+
+def _fused_bias_bwd(bg, n_real, n_pad, interpret, res, g_out):
+    q3, k3, v3, b3 = res
+    sm_scale = q3.shape[-1] ** -0.5
+    dq, dk, dv, db = _pallas_bwd_bias(q3, k3, v3, b3,
+                                      g_out.astype(q3.dtype), bg, n_real,
+                                      n_pad, sm_scale, interpret)
+    return dq, dk, dv, db
+
+
+_fused_bias.defvjp(_fused_bias_fwd, _fused_bias_bwd)
 
 
 # ------------------------------------------- lane-aligned packed variant

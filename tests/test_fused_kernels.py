@@ -383,7 +383,7 @@ def test_attn_block_in_vit_param_tree_and_parity():
     kw = dict(patch_size=8, embedding_planes=128, block_nums=2,
               head_nums=2, image_size=32, num_classes=5)
     m1 = ViT(**kw)
-    m2 = ViT(use_fused_attention=True, **kw)
+    m2 = ViT(use_fused_attention=True, use_fused_block=True, **kw)
     rs = np.random.RandomState(14)
     x = jnp.asarray(rs.rand(2, 32, 32, 3), jnp.float32)
     v = m1.init(jax.random.PRNGKey(0), x)
@@ -402,8 +402,60 @@ def test_attn_block_in_vit_param_tree_and_parity():
 
     # with drop-path active in train mode the block must fall back to
     # the composable path (the kernel fuses the residual): still runs
-    m3 = ViT(use_fused_attention=True, drop_path_prob=0.1, **kw)
+    m3 = ViT(use_fused_attention=True, use_fused_block=True,
+             drop_path_prob=0.1, **kw)
     o3 = m3.apply(v, x, train=True,
                   rngs={"dropout": jax.random.PRNGKey(2),
                         "droppath": jax.random.PRNGKey(3)})
     assert np.isfinite(np.asarray(o3)).all()
+
+
+def test_fused_attention_bias_interpret_exact():
+    """Biased variant (SAM windowed rel-pos): fwd + grads incl. the full
+    [g,n,n] bias gradient vs autodiff of the reference."""
+    import jax
+    import jax.numpy as jnp
+    from simpleaicv_pytorch_training_examples_tpu.ops.pallas import (
+        fused_attention)
+
+    rs = np.random.RandomState(15)
+    b, h, n, d = 2, 2, 25, 32
+    q = jnp.asarray(rs.randn(b, h, n, d), jnp.float32)
+    k = jnp.asarray(rs.randn(b, h, n, d), jnp.float32)
+    v = jnp.asarray(rs.randn(b, h, n, d), jnp.float32)
+    bias = jnp.asarray(rs.randn(b, h, n, n) * 0.3, jnp.float32)
+
+    def ref(q, k, v, bias):
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (d**-0.5) + bias
+        p = jax.nn.softmax(logits, axis=-1)
+        return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+    out = fused_attention(q, k, v, bias=bias, interpret=True)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(ref(q, k, v, bias)), atol=1e-5)
+
+    gk = jax.grad(lambda *a: jnp.sum(
+        fused_attention(*a[:3], bias=a[3], interpret=True) ** 2),
+        argnums=(0, 1, 2, 3))(q, k, v, bias)
+    gr = jax.grad(lambda *a: jnp.sum(ref(*a) ** 2),
+                  argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for nm, a, b_ in zip("qkvb", gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=5e-5, err_msg=nm)
+
+
+def test_sam_windowed_attention_fused_parity():
+    """SAMAttention windowed path with use_flash on CPU (fallback) stays
+    numerically the XLA rel-pos path."""
+    import jax
+    import jax.numpy as jnp
+    from simpleaicv_pytorch_training_examples_tpu.interactive_segmentation.models.segment_anything.image_encoder import (
+        SAMAttention)
+
+    rs = np.random.RandomState(16)
+    x = jnp.asarray(rs.randn(3, 7, 7, 64), jnp.float32)  # windowed block
+    m1 = SAMAttention(head_nums=2, input_size=(7, 7), use_flash=False)
+    m2 = SAMAttention(head_nums=2, input_size=(7, 7), use_flash=True)
+    v = m1.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_allclose(np.asarray(m2.apply(v, x)),
+                               np.asarray(m1.apply(v, x)), atol=1e-5)
