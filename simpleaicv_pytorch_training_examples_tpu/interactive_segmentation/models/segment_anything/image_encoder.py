@@ -97,17 +97,13 @@ class SAMAttention(nn.Module):
                 rel_h.reshape(b, nh, h * w, h),
                 rel_w.reshape(b, nh, h * w, w),
                 force_pallas=True)
-        elif self.use_flash and h * w <= 1024 and hd <= 128:
-            # windowed blocks (14x14=196 tokens): in-VMEM fused attention
-            # with the rel-pos bias materialized per window — the
-            # [196, 196] probs never reach HBM (ops/pallas
-            # fused_attention biased variant)
-            from ....ops.pallas.fused_attention import fused_attention
-            bias = (rel_h[:, :, :, :, :, None] +
-                    rel_w[:, :, :, :, None, :]).reshape(
-                        b, nh, h * w, h * w)
-            out = fused_attention(q, k, v, bias=bias, force_pallas=True)
         else:
+            # windowed blocks stay on XLA: the fused biased kernel
+            # (ops/pallas fused_attention bias variant) measured 268.9 vs
+            # 261.8 ms/step on the SAM-B bs2 train step — materializing
+            # the per-window rel-pos bias for the kernel costs what the
+            # fused probs save at this batch size. The kernel remains
+            # available for biased short-N attention elsewhere.
             attn = attn.reshape(b, nh, h, w, h, w) + \
                 rel_h[:, :, :, :, :, None] + rel_w[:, :, :, :, None, :]
             attn = attn.reshape(b, nh, h * w, h * w)

@@ -277,21 +277,48 @@ def _flash_backward(q, k, v, bias, out, lse, g_out, block_q, block_k):
 # ------------------------------------------------------------- custom vjp
 
 
+def _flash_fwd_factory(params):
+    block_q, block_k = params
+
+    def fn(q, k, v, bias):
+        return _flash_forward(q, k, v, bias, block_q, block_k)
+    return fn
+
+
+def _flash_bwd_factory(params):
+    block_q, block_k = params
+
+    def fn(q, k, v, bias, out, lse, g_out):
+        return _flash_backward(q, k, v, bias, out, lse, g_out,
+                               block_q, block_k)
+    return fn
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def _flash(q, k, v, bias, block_q, block_k):
-    out, _ = _flash_forward(q, k, v, bias, block_q, block_k)
+    from .partitioning import cached_axis0
+    fn = cached_axis0(_flash_fwd_factory, (block_q, block_k),
+                      "g n d, g m d, g m d, g u m -> g n d, g u n")
+    out, _ = fn(q, k, v, bias)
     return out
 
 
 def _flash_fwd_rule(q, k, v, bias, block_q, block_k):
-    out, lse = _flash_forward(q, k, v, bias, block_q, block_k)
+    from .partitioning import cached_axis0
+    fn = cached_axis0(_flash_fwd_factory, (block_q, block_k),
+                      "g n d, g m d, g m d, g u m -> g n d, g u n")
+    out, lse = fn(q, k, v, bias)
     return out, (q, k, v, bias, out, lse)
 
 
 def _flash_bwd_rule(block_q, block_k, res, g_out):
     q, k, v, bias, out, lse = res
-    dq, dk, dv = _flash_backward(q, k, v, bias, out, lse, g_out,
-                                 block_q, block_k)
+    from .partitioning import cached_axis0
+    fn = cached_axis0(
+        _flash_bwd_factory, (block_q, block_k),
+        "g n d, g m d, g m d, g u m, g n d, g u n, g n d"
+        " -> g n d, g m d, g m d")
+    dq, dk, dv = fn(q, k, v, bias, out, lse, g_out)
     # the bias encodes slot validity (constants) — zero gradient
     return dq, dk, dv, jnp.zeros_like(bias)
 
@@ -601,24 +628,53 @@ def _flash_rel_backward(q, k, v, rh, rw, out, lse, g_out, block_q, block_k,
     return dq, dk, dv, drh, drw
 
 
+def _flash_rel_fwd_factory(params):
+    block_q, block_k, kh_size, kw_size = params
+
+    def fn(q, k, v, rh, rw):
+        return _flash_rel_forward(q, k, v, rh, rw, block_q, block_k,
+                                  kh_size, kw_size)
+    return fn
+
+
+def _flash_rel_bwd_factory(params):
+    block_q, block_k, kh_size, kw_size = params
+
+    def fn(q, k, v, rh, rw, out, lse, g_out):
+        return _flash_rel_backward(q, k, v, rh, rw, out, lse, g_out,
+                                   block_q, block_k, kh_size, kw_size)
+    return fn
+
+
+_REL_FWD_RULE = "g n d, g m d, g m d, g n h, g n w -> g n d, g u n"
+_REL_BWD_RULE = ("g n d, g m d, g m d, g n h, g n w, g n d, g u n, g n d"
+                 " -> g n d, g m d, g m d, g n h, g n w")
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def _flash_rel(q, k, v, rh, rw, block_q, block_k, kh_size, kw_size):
-    out, _ = _flash_rel_forward(q, k, v, rh, rw, block_q, block_k,
-                                kh_size, kw_size)
+    from .partitioning import cached_axis0
+    fn = cached_axis0(_flash_rel_fwd_factory,
+                      (block_q, block_k, kh_size, kw_size), _REL_FWD_RULE)
+    out, _ = fn(q, k, v, rh, rw)
     return out
 
 
 def _flash_rel_fwd_rule(q, k, v, rh, rw, block_q, block_k, kh_size,
                         kw_size):
-    out, lse = _flash_rel_forward(q, k, v, rh, rw, block_q, block_k,
-                                  kh_size, kw_size)
+    from .partitioning import cached_axis0
+    fn = cached_axis0(_flash_rel_fwd_factory,
+                      (block_q, block_k, kh_size, kw_size), _REL_FWD_RULE)
+    out, lse = fn(q, k, v, rh, rw)
     return out, (q, k, v, rh, rw, out, lse)
 
 
 def _flash_rel_bwd_rule(block_q, block_k, kh_size, kw_size, res, g_out):
     q, k, v, rh, rw, out, lse = res
-    return _flash_rel_backward(q, k, v, rh, rw, out, lse, g_out, block_q,
-                               block_k, kh_size, kw_size)
+    from .partitioning import cached_axis0
+    fn = cached_axis0(_flash_rel_bwd_factory,
+                      (block_q, block_k, kh_size, kw_size), _REL_BWD_RULE)
+    return fn(q, k, v, rh, rw, out, lse, g_out)
 
 
 _flash_rel.defvjp(_flash_rel_fwd_rule, _flash_rel_bwd_rule)

@@ -149,10 +149,32 @@ def _pallas_bwd(q3, k3, v3, do3, bg, n_real, n_pad, sm_scale, interpret):
     )(q3, k3, v3, do3)
 
 
+def _plain_fwd_factory(params):
+    bg, n_real, interpret = params
+
+    def fn(q3, k3, v3):
+        sm_scale = q3.shape[-1] ** -0.5
+        return _pallas_fwd(q3, k3, v3, bg, n_real, q3.shape[1], sm_scale,
+                           interpret)
+    return fn
+
+
+def _plain_bwd_factory(params):
+    bg, n_real, interpret = params
+
+    def fn(q3, k3, v3, do3):
+        sm_scale = q3.shape[-1] ** -0.5
+        return _pallas_bwd(q3, k3, v3, do3, bg, n_real, q3.shape[1],
+                           sm_scale, interpret)
+    return fn
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def _fused(q3, k3, v3, bg, n_real, n_pad, interpret):
-    sm_scale = q3.shape[-1] ** -0.5
-    return _pallas_fwd(q3, k3, v3, bg, n_real, n_pad, sm_scale, interpret)
+    from .partitioning import cached_axis0
+    fn = cached_axis0(_plain_fwd_factory, (bg, n_real, interpret),
+                      "g n d, g n d, g n d -> g n d")
+    return fn(q3, k3, v3)
 
 
 def _fused_fwd(q3, k3, v3, bg, n_real, n_pad, interpret):
@@ -161,9 +183,10 @@ def _fused_fwd(q3, k3, v3, bg, n_real, n_pad, interpret):
 
 def _fused_bwd(bg, n_real, n_pad, interpret, res, g_out):
     q3, k3, v3 = res
-    sm_scale = q3.shape[-1] ** -0.5
-    dq, dk, dv = _pallas_bwd(q3, k3, v3, g_out.astype(q3.dtype), bg,
-                             n_real, n_pad, sm_scale, interpret)
+    from .partitioning import cached_axis0
+    fn = cached_axis0(_plain_bwd_factory, (bg, n_real, interpret),
+                      "g n d, g n d, g n d, g n d -> g n d, g n d, g n d")
+    dq, dk, dv = fn(q3, k3, v3, g_out.astype(q3.dtype))
     return dq, dk, dv
 
 
@@ -331,11 +354,32 @@ def _pallas_bwd_bias(q3, k3, v3, b3, do3, bg, n_real, n_pad, sm_scale,
     )(q3, k3, v3, b3, do3)
 
 
+def _bias_fwd_factory(params):
+    bg, n_real, interpret = params
+
+    def fn(q3, k3, v3, b3):
+        sm_scale = q3.shape[-1] ** -0.5
+        return _pallas_fwd_bias(q3, k3, v3, b3, bg, n_real, q3.shape[1],
+                                sm_scale, interpret)
+    return fn
+
+
+def _bias_bwd_factory(params):
+    bg, n_real, interpret = params
+
+    def fn(q3, k3, v3, b3, do3):
+        sm_scale = q3.shape[-1] ** -0.5
+        return _pallas_bwd_bias(q3, k3, v3, b3, do3, bg, n_real,
+                                q3.shape[1], sm_scale, interpret)
+    return fn
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def _fused_bias(q3, k3, v3, b3, bg, n_real, n_pad, interpret):
-    sm_scale = q3.shape[-1] ** -0.5
-    return _pallas_fwd_bias(q3, k3, v3, b3, bg, n_real, n_pad, sm_scale,
-                            interpret)
+    from .partitioning import cached_axis0
+    fn = cached_axis0(_bias_fwd_factory, (bg, n_real, interpret),
+                      "g n d, g n d, g n d, g n m -> g n d")
+    return fn(q3, k3, v3, b3)
 
 
 def _fused_bias_fwd(q3, k3, v3, b3, bg, n_real, n_pad, interpret):
@@ -345,10 +389,12 @@ def _fused_bias_fwd(q3, k3, v3, b3, bg, n_real, n_pad, interpret):
 
 def _fused_bias_bwd(bg, n_real, n_pad, interpret, res, g_out):
     q3, k3, v3, b3 = res
-    sm_scale = q3.shape[-1] ** -0.5
-    dq, dk, dv, db = _pallas_bwd_bias(q3, k3, v3, b3,
-                                      g_out.astype(q3.dtype), bg, n_real,
-                                      n_pad, sm_scale, interpret)
+    from .partitioning import cached_axis0
+    fn = cached_axis0(
+        _bias_bwd_factory, (bg, n_real, interpret),
+        "g n d, g n d, g n d, g n m, g n d"
+        " -> g n d, g n d, g n d, g n m")
+    dq, dk, dv, db = fn(q3, k3, v3, b3, g_out.astype(q3.dtype))
     return dq, dk, dv, db
 
 
@@ -516,10 +562,31 @@ def _pallas_bwd_pairs(qkv, do3, c, hpt, n_real, sm_scale, interpret):
     )(qkv, do3)
 
 
+def _pairs_fwd_factory(params):
+    c, hpt, n_real, interpret = params
+
+    def fn(qkv):
+        sm_scale = (128 // hpt) ** -0.5
+        return _pallas_fwd_pairs(qkv, c, hpt, n_real, sm_scale, interpret)
+    return fn
+
+
+def _pairs_bwd_factory(params):
+    c, hpt, n_real, interpret = params
+
+    def fn(qkv, do3):
+        sm_scale = (128 // hpt) ** -0.5
+        return _pallas_bwd_pairs(qkv, do3, c, hpt, n_real, sm_scale,
+                                 interpret)
+    return fn
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
 def _fused_pairs(qkv, c, hpt, n_real, interpret):
-    sm_scale = (128 // hpt) ** -0.5
-    return _pallas_fwd_pairs(qkv, c, hpt, n_real, sm_scale, interpret)
+    from .partitioning import cached_axis0
+    fn = cached_axis0(_pairs_fwd_factory, (c, hpt, n_real, interpret),
+                      "b n q -> b n c")
+    return fn(qkv)
 
 
 def _fused_pairs_fwd(qkv, c, hpt, n_real, interpret):
@@ -528,9 +595,10 @@ def _fused_pairs_fwd(qkv, c, hpt, n_real, interpret):
 
 def _fused_pairs_bwd(c, hpt, n_real, interpret, res, g_out):
     (qkv,) = res
-    sm_scale = (128 // hpt) ** -0.5
-    dqkv = _pallas_bwd_pairs(qkv, g_out.astype(qkv.dtype), c, hpt,
-                             n_real, sm_scale, interpret)
+    from .partitioning import cached_axis0
+    fn = cached_axis0(_pairs_bwd_factory, (c, hpt, n_real, interpret),
+                      "b n q, b n c -> b n q")
+    dqkv = fn(qkv, g_out.astype(qkv.dtype))
     return (dqkv,)
 
 

@@ -459,3 +459,43 @@ def test_sam_windowed_attention_fused_parity():
     v = m1.init(jax.random.PRNGKey(0), x)
     np.testing.assert_allclose(np.asarray(m2.apply(v, x)),
                                np.asarray(m1.apply(v, x)), atol=1e-5)
+
+
+def test_pallas_kernels_shard_over_data_axis():
+    """Under pjit with a data-sharded batch, the pallas custom-calls must
+    PARTITION over axis 0 (ops/pallas/partitioning.py), not silently
+    all-gather: zero all-gathers in fwd and grad HLO, numerics equal to
+    the unsharded run, grads data-sharded."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from simpleaicv_pytorch_training_examples_tpu.ops.pallas.fused_attention import (
+        fused_attention_dense)
+
+    if len(jax.devices()) < 8:
+        import pytest
+        pytest.skip("needs the 8-device CPU mesh")
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("data",))
+    rs = np.random.RandomState(17)
+    qkv_h = rs.randn(16, 24, 3 * 128).astype(np.float32)
+    qkv = jax.device_put(jnp.asarray(qkv_h),
+                         NamedSharding(mesh, P("data", None, None)))
+
+    f = jax.jit(lambda t: fused_attention_dense(t, 2, interpret=True))
+    assert f.lower(qkv).compile().as_text().count("all-gather") == 0
+    out = f(qkv)
+    assert out.sharding.spec == P("data",)
+    np.testing.assert_allclose(
+        np.asarray(out),
+        np.asarray(fused_attention_dense(jnp.asarray(qkv_h), 2,
+                                         interpret=True)), atol=1e-6)
+
+    g = jax.jit(jax.grad(lambda t: (fused_attention_dense(
+        t, 2, interpret=True) ** 2).sum()))
+    assert g.lower(qkv).compile().as_text().count("all-gather") == 0
+    gv = g(qkv)
+    assert gv.sharding.spec == P("data",)
+    g_ref = jax.grad(lambda t: (fused_attention_dense(
+        t, 2, interpret=True) ** 2).sum())(jnp.asarray(qkv_h))
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(g_ref),
+                               atol=1e-6)
