@@ -194,9 +194,11 @@ def bench_retinanet_int8():
 
 # SAM-B fwd FLOPs per 1024^2 image, analytic over the dominant matmuls
 # (12-block ViT-B encoder at 4096 tokens: 8 windowed blocks at 63.9G +
-# 4 global at 109.5G + neck ~6.4G); remat train step = ~4x fwd (fwd +
-# recompute + 2x-fwd bwd). See bench_sam_train.py for the measured
-# flash-vs-XLA table.
+# 4 global at 109.5G + neck ~6.4G; already 2-flops-per-MAC). MFU uses
+# the standard 3x-fwd MODEL flops — full-block remat actually executes
+# ~4x fwd (fwd + recompute + 2x-fwd bwd), and that extra 1x is overhead
+# the metric should penalize, not credit. See bench_sam_train.py for the
+# measured flash-vs-XLA table.
 SAM_B_FWD_FLOPS = 0.96e12
 
 
@@ -209,7 +211,7 @@ def bench_sam_train_detail():
     ms_xla = bench_sam_train(use_flash=False)
     bs = 2
     ips = bs / (ms_flash / 1000.0)
-    mfu = (4.0 * SAM_B_FWD_FLOPS * bs / (ms_flash / 1000.0)
+    mfu = (3.0 * SAM_B_FWD_FLOPS * bs / (ms_flash / 1000.0)
            / _chip_peak_bf16_flops())
     return ips, mfu, ms_xla / ms_flash
 
@@ -277,13 +279,24 @@ def bench_vit_train():
     }
     rng = jax.random.PRNGKey(1)
 
-    # analytic fwd+bwd flops (3x the published 17.58 GFLOP ViT-B/16
-    # forward — the standard MFU accounting). NOTE: XLA cost_analysis
-    # reports ~2.2x this (it over-counts fused ops), which is what the
-    # earlier "0.42 MFU" figure was based on; the honest model-flops
-    # utilization at 706 img/s is ~0.19. The switch also saves a second
-    # ~2-minute compile over the remote tunnel.
-    flops_per_step = 3.0 * 17.58e9 * batch_size
+    # analytic fwd+bwd flops, 3x forward (standard MFU accounting).
+    #
+    # UNITS MATTER: the widely published "17.58 GFLOPs" for ViT-B/16@224
+    # is a multiply-ACCUMULATE count (timm reports the same number as
+    # GMACs). Deriving from shapes: per token per layer qkv 768*2304 =
+    # 1.77M + attn core 2*197*64*12 = 0.30M + proj 0.59M + mlp
+    # 2*768*3072 = 4.72M = 7.38M MACs; *197 tokens *12 layers + patchify
+    # 196*768*768 = 17.57G MACs — exactly the published figure. The
+    # chip peak used in the denominator (197 TFLOP/s bf16 on v5e) counts
+    # a MAC as 2 FLOPs, so the numerator must too: fwd = 35.16e9 FLOPs.
+    # (Cross-checks: XLA cost_analysis reports ~2.2x 17.58G per forward
+    # = 2x MACs + elementwise; and the isolated [50432,768]x[768,3072]
+    # MLP fwd+bwd measures 7.36 ms = 98% of the 2-flops-per-MAC roofline
+    # — a 0.33 "MFU" whole-step number alongside a 0.98-of-peak
+    # dominant-op measurement is the contradiction that exposed the
+    # earlier round's MAC/FLOP mixup. The SAM accounting below was
+    # already in true FLOPs: 109.5G/global-block = 2x its 54.7G MACs.)
+    flops_per_step = 3.0 * 2.0 * 17.58e9 * batch_size
 
     state, metrics = train_step(state, batch, rng)  # compile + warmup
     float(metrics["loss"])

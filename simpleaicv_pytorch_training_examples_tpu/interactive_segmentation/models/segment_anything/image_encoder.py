@@ -19,6 +19,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ....models.common import PatchEmbed
+
 
 def window_partition(x, window_size):
     b, h, w, c = x.shape
@@ -172,6 +174,9 @@ class ViTImageEncoder(nn.Module):
     window_size: int = 14
     global_attn_indexes: Sequence[int] = ()
     use_gradient_checkpoint: bool = False
+    # named jax.checkpoint policy for the remat blocks (see ops/remat.py);
+    # None = recompute everything (torch.utils.checkpoint semantics)
+    remat_policy: Any = None
     # pallas flash attention for the global blocks (TPU only)
     use_flash_attention: bool = False
     dtype: Any = jnp.float32
@@ -179,18 +184,17 @@ class ViTImageEncoder(nn.Module):
     @nn.compact
     def __call__(self, x):
         grid = self.image_size // self.patch_size
-        x = nn.Conv(self.embedding_planes,
-                    (self.patch_size, self.patch_size),
-                    strides=(self.patch_size, self.patch_size),
-                    padding="VALID", dtype=self.dtype,
-                    name="patch_embedding")(x)
+        x = PatchEmbed(self.embedding_planes, self.patch_size,
+                       dtype=self.dtype, name="patch_embedding")(x)
         pos_embed = self.param("position_encoding", nn.initializers.zeros,
                                (1, grid, grid, self.embedding_planes))
         x = x + pos_embed.astype(x.dtype)
 
         block = SAMBlock
         if self.use_gradient_checkpoint:
-            block = nn.remat(SAMBlock)
+            from ....ops.remat import named_remat_policy
+            block = nn.remat(
+                SAMBlock, policy=named_remat_policy(self.remat_policy))
         for i in range(self.block_nums):
             ws = 0 if i in self.global_attn_indexes else self.window_size
             x = block(self.head_nums, self.mlp_ratio, (grid, grid), ws,

@@ -34,6 +34,10 @@ class SAM(nn.Module):
     binary_mask_out: bool = False
     mask_threshold: float = 0.0
     use_gradient_checkpoint: bool = False
+    # named jax.checkpoint policy for the encoder remat blocks
+    # (ops/remat.py); "dots_saveable" keeps MXU outputs resident and
+    # recomputes only elementwise tails in backward
+    remat_policy: Any = None
     # pallas flash attention for the encoder's global blocks (TPU only)
     use_flash_attention: bool = False
     # "sam_vit" or a DINOv3 backbone registry name (reference
@@ -61,6 +65,7 @@ class SAM(nn.Module):
                 window_size=14,
                 global_attn_indexes=self.image_encoder_global_attn_indexes,
                 use_gradient_checkpoint=self.use_gradient_checkpoint,
+                remat_policy=self.remat_policy,
                 use_flash_attention=self.use_flash_attention,
                 dtype=self.dtype)
         self.prompt_encoder = PromptEncoder(

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ...models.common import Dropout, trunc_normal
+from ...models.common import Dropout, PatchEmbed, trunc_normal
 from ...models.backbones.vit import TransformerEncoderLayer
 
 __all__ = [
@@ -72,11 +72,9 @@ class VITMAEPretrainModelEncoder(nn.Module):
         c = self.embedding_planes
         n = (self.image_size // self.patch_size)**2
 
-        x = nn.Conv(c, (self.patch_size, self.patch_size),
-                    strides=(self.patch_size, self.patch_size),
-                    padding="VALID", dtype=self.dtype,
-                    kernel_init=nn.initializers.xavier_uniform(),
-                    name="patch_embedding")(x)
+        x = PatchEmbed(c, self.patch_size, dtype=self.dtype,
+                       kernel_init=nn.initializers.xavier_uniform(),
+                       name="patch_embedding")(x)
         x = x.reshape(b, n, c)
 
         pos_embed = jnp.asarray(

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..common import trunc_normal
+from ..common import PatchEmbed, trunc_normal
 
 __all__ = [
     "DinoVisionTransformer",
@@ -221,12 +221,9 @@ class DinoVisionTransformer(nn.Module):
         the [B, Q + HW, C] token stream after the final norm.
         """
         b = x.shape[0]
-        x = nn.Conv(self.embedding_planes,
-                    (self.patch_size, self.patch_size),
-                    strides=(self.patch_size, self.patch_size),
-                    padding="VALID", dtype=self.dtype,
-                    kernel_init=trunc_normal(0.02),
-                    name="patch_embedding")(x)
+        x = PatchEmbed(self.embedding_planes, self.patch_size,
+                       dtype=self.dtype, kernel_init=trunc_normal(0.02),
+                       name="patch_embedding")(x)
         h, w = x.shape[1], x.shape[2]
         x = x.reshape(b, h * w, self.embedding_planes)
         rope_aug = (self.rope_shift_coords or self.rope_jitter_coords

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..common import (Dropout, DropPath, FusedLayerNorm, Mlp,
-                      MultiHeadSelfAttention, trunc_normal)
+                      MultiHeadSelfAttention, PatchEmbed, trunc_normal)
 
 __all__ = ["vit_base_patch16", "vit_large_patch16", "vit_huge_patch14"]
 
@@ -118,12 +118,9 @@ class ViT(nn.Module):
         b = x.shape[0]
         n_tokens = (self.image_size // self.patch_size)**2
 
-        x = nn.Conv(self.embedding_planes,
-                    (self.patch_size, self.patch_size),
-                    strides=(self.patch_size, self.patch_size),
-                    padding="VALID", dtype=self.dtype,
-                    kernel_init=trunc_normal(0.02),
-                    name="patch_embedding")(x)
+        x = PatchEmbed(self.embedding_planes, self.patch_size,
+                       dtype=self.dtype, kernel_init=trunc_normal(0.02),
+                       name="patch_embedding")(x)
         x = x.reshape(b, -1, self.embedding_planes)  # [B, N, C]
 
         cls_token = self.param("cls_token", trunc_normal(1e-6),

@@ -30,6 +30,44 @@ def trunc_normal(std: float = 0.02):
     return nn.initializers.truncated_normal(stddev=std)
 
 
+class PatchEmbed(nn.Module):
+    """Non-overlapping patch embedding as an explicit matmul.
+
+    Numerically identical to ``nn.Conv(C, (P,P), strides=(P,P),
+    padding='VALID')`` and keeps the exact same param tree
+    (``kernel`` [P,P,in,C] HWIO + ``bias`` [C]) so torch converters and
+    checkpoints are unaffected — but on TPU the conv form runs the MXU
+    with only the 3 RGB input channels on the 128-wide lane dimension
+    (~2% utilization; measured 1/3 of the whole ViT-B train-step conv
+    time). The einsum form contracts P*P*3 = 768 at once (full lanes):
+    XLA lowers it to a single well-tiled dot.
+
+    Reference counterpart: the ``nn.Conv2d(...,kernel_size=patch,
+    stride=patch)`` patch embeds (e.g. SimpleAICV/classification/
+    backbones/vit.py PatchEmbeddingBlock).
+    """
+    planes: int
+    patch_size: int
+    use_bias: bool = True
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        p = self.patch_size
+        kernel = self.param("kernel", self.kernel_init,
+                            (p, p, c, self.planes))
+        x = x.reshape(b, h // p, p, w // p, p, c).astype(self.dtype)
+        # contract (p, q, c) — 768 wide for P=16 RGB — in one dot
+        x = jnp.einsum("bhpwqc,pqcd->bhwd", x, kernel.astype(self.dtype))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.planes,))
+            x = x + bias.astype(x.dtype)
+        return x  # [B, H/P, W/P, planes]
+
+
 class ConvBnAct(nn.Module):
     """Conv2d + optional BatchNorm + optional activation, NHWC."""
     planes: int

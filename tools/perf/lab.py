@@ -16,7 +16,9 @@ import jax.numpy as jnp
 import numpy as np
 
 PEAK = 197e12  # v5e bf16
-VIT_B_FWD_FLOPS = 17.58e9
+# 17.58e9 is the published MAC count for ViT-B/16@224 (timm's GMACs);
+# the MXU peak in PEAK counts a MAC as 2 FLOPs — see bench.py derivation
+VIT_B_FWD_FLOPS = 2.0 * 17.58e9
 
 
 def warmup():
