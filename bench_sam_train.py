@@ -2,19 +2,24 @@
 driver's bench fast): fwd+bwd with remat at 1024^2 using the
 decomposed-rel-pos pallas flash kernel.
 
-Measured on v5e (bs2): 274.6 ms/step with flash vs 665.3 ms with XLA
-attention — 2.42x end-to-end (run with --xla to reproduce the baseline).
+Measured on v5e (bs2), after the einsum patch-embed change:
+  flash, full recompute        250.9 ms/step   (was 274.6 pre-einsum)
+  flash, --policy dots_saveable 239.4 ms/step  (+4.8%, ~0.68 GB/img HBM)
+  --xla attention baseline      665.3 ms/step  (2.65x vs flash)
+dots_saveable keeps every dot output in the remat block resident
+(qkv+proj+mlp = 6912 floats/token = ~0.68 GB/img for SAM-B), so it only
+fits when the per-device batch is small; the big-batch configs keep the
+default full-recompute policy and expose `remat_policy` as a knob.
 """
 
 import argparse
 import time
 
 
-def bench_sam_train(use_flash=True):
+def bench_sam_train(use_flash=True, remat_policy=None):
     """SAM-B 1024^2 full train step (fwd+bwd, remat, bf16) with the
     decomposed-rel-pos pallas flash kernel — the production
-    sam_b_training path. Measured 274.6 ms vs 665.3 ms with XLA
-    attention (2.42x end-to-end)."""
+    sam_b_training path. See module docstring for the measured table."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -26,6 +31,7 @@ def bench_sam_train(use_flash=True):
 
     bs = 2
     model = SAM(image_size=1024, use_gradient_checkpoint=True,
+                remat_policy=remat_policy,
                 use_flash_attention=use_flash, dtype=jnp.bfloat16)
     rs = np.random.RandomState(0)
     images = jnp.asarray(rs.rand(bs, 1024, 1024, 3), jnp.float32)
@@ -61,10 +67,15 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--xla", action="store_true",
                    help="disable the pallas kernel (XLA attention baseline)")
+    p.add_argument("--policy", default=None,
+                   help="named remat policy (ops/remat.py), e.g. "
+                        "dots_saveable")
     args = p.parse_args()
-    ms = bench_sam_train(use_flash=not args.xla)
+    ms = bench_sam_train(use_flash=not args.xla, remat_policy=args.policy)
     print(f"SAM-B train fwd+bwd bs2 "
-          f"[{'xla' if args.xla else 'flash'}]: {ms:.1f} ms/step")
+          f"[{'xla' if args.xla else 'flash'}"
+          f"{', ' + args.policy if args.policy else ''}]: "
+          f"{ms:.1f} ms/step")
 
 
 if __name__ == "__main__":

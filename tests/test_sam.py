@@ -118,3 +118,45 @@ def test_automatic_mask_generator_runs():
     assert m0["area"] == int(m0["mask"].sum())
     # NMS keeps boxes below the overlap threshold pairwise-distinct
     assert len(out) <= 16
+
+
+def test_remat_policy_parity():
+    """`remat_policy="dots_saveable"` changes only what the backward
+    recomputes, never the numerics: loss and gradients match the default
+    full-recompute remat exactly (tiny SAM, fp32)."""
+    import jax
+    import jax.numpy as jnp
+    from simpleaicv_pytorch_training_examples_tpu.interactive_segmentation.models.segment_anything.sam import (
+        SAM)
+    from simpleaicv_pytorch_training_examples_tpu.ops.remat import (
+        named_remat_policy)
+
+    kw = dict(image_size=128, patch_size=16,
+              image_encoder_embedding_planes=64,
+              image_encoder_block_nums=2, image_encoder_head_nums=2,
+              image_encoder_global_attn_indexes=(1,),
+              prompt_encoder_embedding_planes=32,
+              use_gradient_checkpoint=True)
+    base = SAM(**kw)
+    dots = SAM(**kw, remat_policy="dots_saveable")
+
+    x = jnp.asarray(
+        np.random.RandomState(0).rand(1, 128, 128, 3), jnp.float32)
+    prompts = {"prompt_point": jnp.asarray([[[40.0, 40.0, 1.0]]]),
+               "prompt_box": None, "prompt_mask": None}
+    variables = base.init(jax.random.PRNGKey(0), x, prompts)
+
+    def loss(model, v):
+        m, i = model.apply(v, x, prompts)
+        return (m ** 2).mean() + (i ** 2).mean()
+
+    l0, g0 = jax.value_and_grad(lambda v: loss(base, v))(variables)
+    l1, g1 = jax.value_and_grad(lambda v: loss(dots, v))(variables)
+    assert float(l0) == float(l1)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-6, atol=2e-7)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown remat policy"):
+        named_remat_policy("bogus")
