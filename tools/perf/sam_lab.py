@@ -1,0 +1,105 @@
+"""SAM-B train-step component timing on TPU.
+
+Whole-step MFU (3x-fwd model-flops accounting) is ~0.12 at bs2 even
+with the flash kernels — roofline for 3x 0.96 TFLOP/img would be
+~29 ms/img but the measured step is ~125 ms/img. This lab splits the
+step into encoder fwd / encoder fwd+bwd(remat) / prompt+decoder+loss
+so the gap can be attributed before optimizing.
+
+Usage (persistent process, tunnel warmup ~1-3 min):
+    python tools/perf/sam_lab.py [--bs 2] [--policy dots_saveable]
+"""
+import argparse
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lab import time_apply, warmup  # noqa: E402  (same dir)
+
+PEAK = 197e12
+SAM_B_FWD_FLOPS = 0.96e12  # per 1024^2 image, 2-flops-per-MAC
+
+
+def build(bs=2, use_flash=True, remat_policy=None, remat=True):
+    from simpleaicv_pytorch_training_examples_tpu.interactive_segmentation import (
+        losses)
+    from simpleaicv_pytorch_training_examples_tpu.interactive_segmentation.models.segment_anything.sam import (
+        SAM)
+
+    model = SAM(image_size=1024, use_gradient_checkpoint=remat,
+                remat_policy=remat_policy,
+                use_flash_attention=use_flash, dtype=jnp.bfloat16)
+    rs = np.random.RandomState(0)
+    images = jnp.asarray(rs.rand(bs, 1024, 1024, 3), jnp.float32)
+    gt = jnp.zeros((bs, 1, 1024, 1024)).at[:, :, 300:700, 300:700].set(1.0)
+    prompts = {
+        "prompt_point": jnp.asarray(
+            np.tile([[[512.0, 512.0, 1.0]]], (bs, 1, 1)), jnp.float32),
+        "prompt_box": None, "prompt_mask": None,
+    }
+    criterion = losses.SAMLoss()
+    variables = model.init({"params": jax.random.PRNGKey(0)}, images, prompts)
+    return model, criterion, variables, images, gt, prompts
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--bs", type=int, default=2)
+    p.add_argument("--policy", default=None)
+    p.add_argument("--xla", action="store_true")
+    args = p.parse_args()
+    bs = args.bs
+
+    warmup()
+    model, criterion, variables, images, gt, prompts = build(
+        bs=bs, use_flash=not args.xla, remat_policy=args.policy)
+
+    # 1. encoder fwd only
+    enc_fwd = jax.jit(lambda v, x: model.apply(
+        v, x, method="forward_image_encoder"))
+    dt = time_apply(enc_fwd, (variables, images), label=f"enc fwd bs{bs}",
+                    flops=SAM_B_FWD_FLOPS * bs)
+
+    # 2. encoder fwd+bwd (remat) — grad wrt params of sum(emb^2)
+    @jax.jit
+    def enc_bwd(v, x):
+        def f(v):
+            emb = model.apply(v, x, method="forward_image_encoder")
+            return (emb.astype(jnp.float32) ** 2).mean()
+        return jax.value_and_grad(f)(v)
+    dt = time_apply(enc_bwd, (variables, images),
+                    label=f"enc fwd+bwd bs{bs}",
+                    flops=3.0 * SAM_B_FWD_FLOPS * bs)
+
+    # 3. decoder+loss fwd+bwd at fixed embeddings
+    emb = enc_fwd(variables, images)
+    emb = jax.tree.map(lambda a: a, emb)
+
+    @jax.jit
+    def dec_bwd(v, emb):
+        def f(v):
+            m, i = model.apply(v, emb, prompts,
+                               method="forward_prompt_encoder_mask_decoder")
+            return sum(criterion(([m], [i]), gt).values())
+        return jax.value_and_grad(f)(v)
+    time_apply(dec_bwd, (variables, emb), label=f"dec+loss fwd+bwd bs{bs}")
+
+    # 4. full step
+    @jax.jit
+    def step(v, x):
+        def f(v):
+            m, i = model.apply(v, x, prompts)
+            return sum(criterion(([m], [i]), gt).values())
+        return jax.value_and_grad(f)(v)
+    dt = time_apply(step, (variables, images), label=f"full step bs{bs}",
+                    flops=3.0 * SAM_B_FWD_FLOPS * bs)
+    print(f"full-step {bs/dt:.2f} img/s", flush=True)
+
+
+if __name__ == "__main__":
+    main()
