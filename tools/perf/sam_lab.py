@@ -47,15 +47,46 @@ def build(bs=2, use_flash=True, remat_policy=None, remat=True):
     return model, criterion, variables, images, gt, prompts
 
 
+def blocks(bs=2, use_flash=True):
+    """Per-block-type forward timing: 1 windowed vs 1 global SAMBlock
+    at the production [bs, 64, 64, 768] stream, plus patch embed+neck."""
+    from simpleaicv_pytorch_training_examples_tpu.interactive_segmentation.models.segment_anything.image_encoder import (
+        SAMBlock)
+
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.rand(bs, 64, 64, 768), jnp.bfloat16)
+
+    # windowed block FLOPs (2-per-MAC): qkv+proj+mlp on 4096 tokens =
+    # 2*4096*768*(2304+768+3072+3072... fc1 768*3072 + fc2 3072*768)
+    dense = 2 * 4096 * (768 * 2304 + 768 * 768 + 768 * 3072 * 2)
+    attn_win = 2 * 2 * (196 ** 2) * 64 * 12 * 25  # 25 windows of 196
+    attn_glob = 2 * 2 * (4096 ** 2) * 64 * 12
+    for label, ws, flash, fl in [
+            ("windowed block", 14, False, dense + attn_win),
+            ("global block (flash)", 0, use_flash, dense + attn_glob),
+            ("global block (xla)", 0, False, dense + attn_glob)]:
+        m = SAMBlock(head_nums=12, input_size=(64, 64), window_size=ws,
+                     use_flash=flash, dtype=jnp.bfloat16)
+        v = m.init(jax.random.PRNGKey(0), x)
+        f = jax.jit(lambda v, x, m=m: m.apply(v, x))
+        time_apply(f, (v, x), label=f"{label} fwd bs{bs}",
+                   flops=fl * bs)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--bs", type=int, default=2)
     p.add_argument("--policy", default=None)
     p.add_argument("--xla", action="store_true")
+    p.add_argument("--blocks", action="store_true",
+                   help="per-block-type forward breakdown only")
     args = p.parse_args()
     bs = args.bs
 
     warmup()
+    if args.blocks:
+        blocks(bs=bs, use_flash=not args.xla)
+        return
     model, criterion, variables, images, gt, prompts = build(
         bs=bs, use_flash=not args.xla, remat_policy=args.policy)
 
