@@ -2,14 +2,18 @@
 driver's bench fast): fwd+bwd with remat at 1024^2 using the
 decomposed-rel-pos pallas flash kernel.
 
-Measured on v5e (bs2), after the einsum patch-embed change:
-  flash, full recompute        250.9 ms/step   (was 274.6 pre-einsum)
-  flash, --policy dots_saveable 239.4 ms/step  (+4.8%, ~0.68 GB/img HBM)
-  --xla attention baseline      665.3 ms/step  (2.65x vs flash)
-dots_saveable keeps every dot output in the remat block resident
-(qkv+proj+mlp = 6912 floats/token = ~0.68 GB/img for SAM-B), so it only
-fits when the per-device batch is small; the big-batch configs keep the
-default full-recompute policy and expose `remat_policy` as a knob.
+Measured on v5e (bs2), round-3 progression:
+  274.6 ms/step  flash attention, pre einsum-patch-embed
+  250.9 ms/step  + einsum patch embed (full-lane MXU patchify)
+  171.3 ms/step  + one-hot rel-pos bias expansion and the fused biased
+                 VMEM kernel on the 8 windowed blocks (the 6-D broadcast
+                 bias and its VJP reduction were the bottleneck)
+  665.3 ms/step  --xla attention baseline (3.9x vs current flash path)
+`--policy dots_saveable` keeps every dot output in the remat block
+resident (qkv+proj+mlp = 6912 floats/token = ~0.68 GB/img for SAM-B;
+measured +4.8% on the 250.9 baseline), so it only fits when the
+per-device batch is small; the big-batch configs keep the default
+full-recompute policy and expose `remat_policy` as a knob.
 """
 
 import argparse
