@@ -10,10 +10,12 @@ Measured on v5e (bs2), round-3 progression:
                  bias and its VJP reduction were the bottleneck)
   665.3 ms/step  --xla attention baseline (3.9x vs current flash path)
 `--policy dots_saveable` keeps every dot output in the remat block
-resident (qkv+proj+mlp = 6912 floats/token = ~0.68 GB/img for SAM-B;
-measured +4.8% on the 250.9 baseline), so it only fits when the
-per-device batch is small; the big-batch configs keep the default
-full-recompute policy and expose `remat_policy` as a knob.
+resident (qkv+proj+mlp = 6912 floats/token = ~0.68 GB/img for SAM-B);
+it bought +4.8% on the 250.9 baseline but only 171.3 -> 169.1 once the
+fused kernels shrank the recompute it skips — the default stays full
+recompute. bs4: 333.4 ms/step = 12.0 img/s (encoder fwd reaches 0.230
+MFU at bs4 vs 0.127 at bs2 — fixed costs amortize; production configs
+run >=bs8 per device).
 """
 
 import argparse

@@ -78,9 +78,6 @@ class SAMAttention(nn.Module):
         qkv = qkv.reshape(b, h * w, 3, nh, hd).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]  # [B, nh, HW, hd]
 
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
-                          preferred_element_type=jnp.float32) * (hd**-0.5)
-
         rel_pos_h = self.param("rel_pos_h", nn.initializers.zeros,
                                (2 * self.input_size[0] - 1, hd))
         rel_pos_w = self.param("rel_pos_w", nn.initializers.zeros,
@@ -127,6 +124,9 @@ class SAMAttention(nn.Module):
                 out = fused_attention(q, k, v, bias=bias,
                                       force_pallas=True)
             else:
+                attn = jnp.einsum(
+                    "bhnd,bhmd->bhnm", q, k,
+                    preferred_element_type=jnp.float32) * (hd**-0.5)
                 attn = attn + bias
                 attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
                 out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)

@@ -32,6 +32,10 @@ Measured on v5e, bf16:
   fwd 19.4 ms vs XLA 52.0 (2.7x); fwd+bwd 55.0 ms vs ~181 ms
   XLA-equivalent (3.3x, scaled from bs2 — the XLA path OOMs HBM at bs8
   because the [96, 4096, 4096] bias and its gradients materialize).
+  Block sweep at B2 (round 3): the bq1024/bk1024 default is already
+  best — 4.67 ms fwd vs 4.72 (512/1024), 4.81 (1024/4096), 5.18
+  (2048^2); the in-kernel one-hot rel expansion triples the attention
+  FLOPs, so ~4.7 ms is near this kernel's analytic bound at bs2.
 
 API: flash_attention(q, k, v, bias=None) with q/k/v [B, H, N, D] and bias
 [B, N_k] (per-key additive, broadcast over heads/queries). Key length is
