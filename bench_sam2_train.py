@@ -1,0 +1,92 @@
+"""SAM2 (hiera-B+ video) full-train-step benchmark at the production
+1024^2 shape: condition-frame recipe, 2-point-iteration, `nn.scan`
+tracked frames, flash memory attention — the 14.1 stage-2 training path
+(bs1, T=4 on one chip; the real config runs bs8 T=8 across a mesh).
+
+Usage: python bench_sam2_train.py [--xla] [--frames 4]
+"""
+
+import argparse
+import time
+
+
+def bench_sam2_train(use_flash=True, frames=4, bs=1):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from simpleaicv_pytorch_training_examples_tpu.video_interactive_segmentation import (
+        losses)
+    from simpleaicv_pytorch_training_examples_tpu.video_interactive_segmentation.models.segment_anything2.sam2 import (
+        sam2_hiera_base_plus_video)
+    from tools.train_video_interactive_segmentation_model import (
+        build_loss_fn)
+
+    model = sam2_hiera_base_plus_video(
+        image_size=1024, use_gradient_checkpoint=True, use_scan=True,
+        use_high_res_features=True, use_flash_attention=use_flash,
+        memory_cond_slots=2, dtype=jnp.bfloat16)
+
+    class cfg:
+        train_criterion = losses.SAM2Loss()
+        use_amp = True
+        decoder_point_iters = 2
+
+    loss_fn = build_loss_fn(model, cfg)
+
+    b, t = bs, frames
+    rs = np.random.RandomState(0)
+    rq = 1024 // 4
+    batch = {
+        "image": jnp.asarray(rs.rand(b, t, 1024, 1024, 3), jnp.float32),
+        "mask": jnp.zeros((b, t, 1024, 1024)).at[:, :, 300:700,
+                                                 300:700].set(1.0),
+        "prompt_point": jnp.full((b, t, 2, 3), -1.0).at[:, 0, 0].set(
+            jnp.asarray([512.0, 512.0, 1.0])),
+        "prompt_box": jnp.zeros((b, t, 4)),
+        "prompt_box_valid": jnp.zeros((b, t)),
+        "prompt_mask": jnp.zeros((b, t, rq, rq, 1)),
+        "prompt_mask_valid": jnp.zeros((b, t)),
+        "is_cond_frame": jnp.zeros((b, t)).at[:, 0].set(1.0),
+        "is_iter_frame": jnp.zeros((b, t)).at[:, 1].set(1.0),
+    }
+    variables = dict(model.init(
+        jax.random.PRNGKey(0), batch["image"],
+        {k: batch[k] for k in ("prompt_point", "prompt_box",
+                               "prompt_box_valid", "prompt_mask",
+                               "prompt_mask_valid")},
+        is_cond_frame=batch["is_cond_frame"][0]))
+    params = variables.pop("params")
+
+    @jax.jit
+    def step(params, variables, batch):
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, variables, batch, jax.random.PRNGKey(1))
+        return loss, grads
+
+    loss, grads = step(params, variables, batch)
+    float(loss)
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        loss, grads = step(params, variables, batch)
+    float(loss)
+    return (time.perf_counter() - t0) / iters * 1000
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--xla", action="store_true")
+    p.add_argument("--frames", type=int, default=4)
+    p.add_argument("--bs", type=int, default=1)
+    args = p.parse_args()
+    ms = bench_sam2_train(use_flash=not args.xla, frames=args.frames,
+                          bs=args.bs)
+    fps = args.bs * args.frames / (ms / 1000.0)
+    print(f"SAM2 hiera-B+ train bs{args.bs} T{args.frames} "
+          f"[{'xla' if args.xla else 'flash'}]: {ms:.1f} ms/step "
+          f"= {fps:.2f} frames/s", flush=True)
+
+
+if __name__ == "__main__":
+    main()
