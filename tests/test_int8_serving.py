@@ -177,3 +177,37 @@ def test_int8_retinanet_heads_track_fp():
     q_r = np.concatenate([np.asarray(h).ravel() for h in q_reg])
     corr_r = np.corrcoef(fp_r, q_r)[0, 1]
     assert corr_r > 0.98, corr_r
+
+
+def test_int8_sam_encoder_embeddings_track_fp():
+    """int8 Dense serving through `method="forward_image_encoder"` on a
+    tiny SAM: calibrated static scales, embeddings correlate with fp
+    (the SAM encode-once predictor serving path)."""
+    import jax
+    import jax.numpy as jnp
+    from simpleaicv_pytorch_training_examples_tpu.interactive_segmentation.models.segment_anything.sam import (
+        SAM)
+    from simpleaicv_pytorch_training_examples_tpu.ops.int8 import (
+        calibrate_activation_scales, int8_apply, quantize_dense_kernels)
+
+    model = SAM(image_size=128, patch_size=16,
+                image_encoder_embedding_planes=64,
+                image_encoder_block_nums=2, image_encoder_head_nums=2,
+                image_encoder_global_attn_indexes=(1,),
+                prompt_encoder_embedding_planes=32)
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.rand(1, 128, 128, 3), jnp.float32)
+    prompts = {"prompt_point": jnp.asarray([[[40.0, 40.0, 1.0]]]),
+               "prompt_box": None, "prompt_mask": None}
+    variables = model.init(jax.random.PRNGKey(0), x, prompts)
+
+    qtable = quantize_dense_kernels(variables["params"])
+    assert len(qtable) >= 8, len(qtable)
+    act = calibrate_activation_scales(model, variables, qtable, [(x,)],
+                                      method="forward_image_encoder")
+    fp = model.apply(variables, x, method="forward_image_encoder")
+    q8 = int8_apply(model, variables, qtable, x,
+                    method="forward_image_encoder", act_scales=act)
+    corr = np.corrcoef(np.asarray(fp, np.float32).ravel(),
+                       np.asarray(q8, np.float32).ravel())[0, 1]
+    assert corr > 0.99, corr
