@@ -41,8 +41,10 @@ class config:
                                        # conv_s0/conv_s1)
                                        use_high_res_features=True,
                                        # fused pallas memory attention:
-                                       # 1.7-1.8x over XLA on v5e (TPU
-                                       # only; auto-fallback elsewhere)
+                                       # 1.3-1.6x over XLA at the d=256
+                                       # production width and O(N) score
+                                       # memory (TPU only; auto-fallback
+                                       # elsewhere)
                                        use_flash_attention=True,
                                        memory_cond_slots=2)
 

@@ -32,7 +32,7 @@ class config:
 
     model = sam2_hiera_base_plus_video_matting(
         image_size=input_image_size, use_gradient_checkpoint=True,
-        # fused pallas memory attention (1.7-1.8x over XLA on v5e)
+        # fused pallas memory attention: 1.3-1.6x over XLA at d=256 + O(N) score memory
         use_flash_attention=True)
 
     trained_model_path = ""
