@@ -78,12 +78,59 @@ def bench_sam2_train(use_flash=True, frames=4, bs=1):
     return (time.perf_counter() - t0) / iters * 1000
 
 
+def bench_encoder(frames=4, bs=1):
+    """Hiera-B+ encoder forward over the T flattened frames (fwd and
+    remat fwd+bwd) — attribution probe for the full-step number."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from simpleaicv_pytorch_training_examples_tpu.video_interactive_segmentation.models.segment_anything2.sam2 import (
+        sam2_hiera_base_plus_video)
+
+    model = sam2_hiera_base_plus_video(
+        image_size=1024, use_gradient_checkpoint=True, use_scan=True,
+        use_high_res_features=True, use_flash_attention=True,
+        memory_cond_slots=2, dtype=jnp.bfloat16)
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.rand(bs * frames, 1024, 1024, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x[:1],
+                           method="encode_frame")
+
+    fwd = jax.jit(lambda v, x: model.apply(v, x, method="encode_frame"))
+
+    @jax.jit
+    def bwd(v, x):
+        def f(v):
+            out = model.apply(v, x, method="encode_frame")
+            return sum((o.astype(jnp.float32) ** 2).mean()
+                       for o in jax.tree.leaves(out))
+        return jax.value_and_grad(f)(v)
+
+    for label, fn in (("enc fwd", fwd), ("enc fwd+bwd", bwd)):
+        out = fn(variables, x)
+        float(jax.tree.leaves(out)[0].astype(jnp.float32).sum())
+        iters = 5
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(variables, x)
+        float(jax.tree.leaves(out)[0].astype(jnp.float32).sum())
+        dt = (time.perf_counter() - t0) / iters * 1000
+        print(f"SAM2 {label} [{bs * frames} frames]: {dt:.1f} ms",
+              flush=True)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--xla", action="store_true")
     p.add_argument("--frames", type=int, default=4)
     p.add_argument("--bs", type=int, default=1)
+    p.add_argument("--encoder", action="store_true",
+                   help="encoder-only attribution probe")
     args = p.parse_args()
+    if args.encoder:
+        bench_encoder(frames=args.frames, bs=args.bs)
+        return
     ms = bench_sam2_train(use_flash=not args.xla, frames=args.frames,
                           bs=args.bs)
     fps = args.bs * args.frames / (ms / 1000.0)
