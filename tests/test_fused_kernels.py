@@ -499,3 +499,30 @@ def test_pallas_kernels_shard_over_data_axis():
         t, 2, interpret=True) ** 2).sum())(jnp.asarray(qkv_h))
     np.testing.assert_allclose(np.asarray(gv), np.asarray(g_ref),
                                atol=1e-6)
+
+
+def test_patch_embed_matches_conv():
+    """PatchEmbed (einsum patchify) must be numerically equivalent to the
+    nn.Conv form it replaces, with the identical param tree (kernel HWIO
+    + bias) so torch converters and checkpoints are unaffected."""
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+    from simpleaicv_pytorch_training_examples_tpu.models.common import (
+        PatchEmbed)
+
+    p, c_in, c_out = 16, 3, 32
+    pe = PatchEmbed(c_out, p)
+    conv = nn.Conv(c_out, (p, p), strides=(p, p), padding="VALID")
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.rand(2, 64, 64, c_in), jnp.float32)
+
+    v = pe.init(jax.random.PRNGKey(0), x)
+    assert set(v["params"]) == {"kernel", "bias"}
+    assert v["params"]["kernel"].shape == (p, p, c_in, c_out)  # HWIO
+
+    out_pe = pe.apply(v, x)
+    out_conv = conv.apply(v, x)  # same param tree drives nn.Conv
+    assert out_pe.shape == (2, 4, 4, c_out)
+    np.testing.assert_allclose(np.asarray(out_pe), np.asarray(out_conv),
+                               rtol=1e-5, atol=1e-5)
