@@ -6,6 +6,10 @@ tracked frames, flash memory attention — the 14.1 stage-2 training path
 Measured on v5e: 597.3 ms/step bs1 T4 = 6.70 frames/s with flash memory
 attention (first compile of the scan-over-frames remat graph over the
 remote tunnel is ~30 min; set JAX_COMPILATION_CACHE_DIR).
+Encoder probe (--encoder, 4 frames): Hiera-B+ fwd 140.5 ms XLA ->
+101.4 ms with flash global blocks (1.39x); remat fwd+bwd 454.8 ->
+361.3 ms (1.26x) — the encoder is ~76% of the full step, so the
+global-block kernel is worth ~93 ms/step.
 
 Usage: python bench_sam2_train.py [--xla] [--frames 4]
 """
@@ -78,9 +82,11 @@ def bench_sam2_train(use_flash=True, frames=4, bs=1):
     return (time.perf_counter() - t0) / iters * 1000
 
 
-def bench_encoder(frames=4, bs=1):
+def bench_encoder(frames=4, bs=1, use_flash=True):
     """Hiera-B+ encoder forward over the T flattened frames (fwd and
-    remat fwd+bwd) — attribution probe for the full-step number."""
+    remat fwd+bwd) — attribution probe for the full-step number.
+    use_flash routes the 3 global-attention blocks (4096 tokens, d=56
+    zero-padded to 64) through the fused pallas kernel."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -90,7 +96,7 @@ def bench_encoder(frames=4, bs=1):
 
     model = sam2_hiera_base_plus_video(
         image_size=1024, use_gradient_checkpoint=True, use_scan=True,
-        use_high_res_features=True, use_flash_attention=True,
+        use_high_res_features=True, use_flash_attention=use_flash,
         memory_cond_slots=2, dtype=jnp.bfloat16)
     rs = np.random.RandomState(0)
     x = jnp.asarray(rs.rand(bs * frames, 1024, 1024, 3), jnp.float32)
@@ -129,7 +135,8 @@ def main():
                    help="encoder-only attribution probe")
     args = p.parse_args()
     if args.encoder:
-        bench_encoder(frames=args.frames, bs=args.bs)
+        bench_encoder(frames=args.frames, bs=args.bs,
+                      use_flash=not args.xla)
         return
     ms = bench_sam2_train(use_flash=not args.xla, frames=args.frames,
                           bs=args.bs)

@@ -106,12 +106,13 @@ def _fwd_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, lse_ref,
         lse_ref[0] = (m_scr[...] + jnp.log(l))[:, 0]
 
 
-def _flash_forward(q, k, v, bias, block_q, block_k):
+def _flash_forward(q, k, v, bias, block_q, block_k, sm_scale):
     """q/k/v [G, N, D] (G = batch*heads), bias [G, 1, N_k] fp32.
-    Returns (out [G, N_q, D], lse [G, 1, N_q] fp32)."""
+    Returns (out [G, N_q, D], lse [G, 1, N_q] fp32). sm_scale is passed
+    explicitly: D may be zero-padded to a lane-friendly width by the
+    caller, and the softmax scale must stay the ORIGINAL head dim's."""
     g, n_q, d = q.shape
     n_k = k.shape[1]
-    sm_scale = d**-0.5
     n_k_steps = n_k // block_k
 
     kernel = functools.partial(_fwd_kernel, n_k_steps=n_k_steps,
@@ -214,10 +215,10 @@ def _bwd_dq_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
         dq_ref[...] = dq_scr[...].astype(dq_ref.dtype)
 
 
-def _flash_backward(q, k, v, bias, out, lse, g_out, block_q, block_k):
+def _flash_backward(q, k, v, bias, out, lse, g_out, block_q, block_k,
+                    sm_scale):
     g, n_q, d = q.shape
     n_k = k.shape[1]
-    sm_scale = d**-0.5
     # delta = rowsum(dO * O): tiny elementwise pass, XLA fuses it
     delta = jnp.sum(g_out.astype(jnp.float32) * out.astype(jnp.float32),
                     axis=-1)[:, None, :]  # [G, 1, n_q]
@@ -282,44 +283,44 @@ def _flash_backward(q, k, v, bias, out, lse, g_out, block_q, block_k):
 
 
 def _flash_fwd_factory(params):
-    block_q, block_k = params
+    block_q, block_k, sm_scale = params
 
     def fn(q, k, v, bias):
-        return _flash_forward(q, k, v, bias, block_q, block_k)
+        return _flash_forward(q, k, v, bias, block_q, block_k, sm_scale)
     return fn
 
 
 def _flash_bwd_factory(params):
-    block_q, block_k = params
+    block_q, block_k, sm_scale = params
 
     def fn(q, k, v, bias, out, lse, g_out):
         return _flash_backward(q, k, v, bias, out, lse, g_out,
-                               block_q, block_k)
+                               block_q, block_k, sm_scale)
     return fn
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _flash(q, k, v, bias, block_q, block_k):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _flash(q, k, v, bias, block_q, block_k, sm_scale):
     from .partitioning import cached_axis0
-    fn = cached_axis0(_flash_fwd_factory, (block_q, block_k),
+    fn = cached_axis0(_flash_fwd_factory, (block_q, block_k, sm_scale),
                       "g n d, g m d, g m d, g u m -> g n d, g u n")
     out, _ = fn(q, k, v, bias)
     return out
 
 
-def _flash_fwd_rule(q, k, v, bias, block_q, block_k):
+def _flash_fwd_rule(q, k, v, bias, block_q, block_k, sm_scale):
     from .partitioning import cached_axis0
-    fn = cached_axis0(_flash_fwd_factory, (block_q, block_k),
+    fn = cached_axis0(_flash_fwd_factory, (block_q, block_k, sm_scale),
                       "g n d, g m d, g m d, g u m -> g n d, g u n")
     out, lse = fn(q, k, v, bias)
     return out, (q, k, v, bias, out, lse)
 
 
-def _flash_bwd_rule(block_q, block_k, res, g_out):
+def _flash_bwd_rule(block_q, block_k, sm_scale, res, g_out):
     q, k, v, bias, out, lse = res
     from .partitioning import cached_axis0
     fn = cached_axis0(
-        _flash_bwd_factory, (block_q, block_k),
+        _flash_bwd_factory, (block_q, block_k, sm_scale),
         "g n d, g m d, g m d, g u m, g n d, g u n, g n d"
         " -> g n d, g m d, g m d")
     dq, dk, dv = fn(q, k, v, bias, out, lse, g_out)
@@ -350,6 +351,13 @@ def flash_attention(q, k, v, bias=None,
     if not (force_pallas and on_tpu and d <= 256):
         return _attention_reference(q, k, v, bias)
 
+    # softmax scale from the ORIGINAL head dim; odd widths (e.g. Hiera's
+    # d=56) are zero-padded to a lane-friendly multiple of 64 — exact:
+    # zero dims add nothing to the logits and the padded V columns are
+    # sliced off the output.
+    sm_scale = d**-0.5
+    d_pad = max(64, _round_up(d, 64)) - d
+
     block_q = min(block_q, _round_up(n_q, 128))
     block_k = min(block_k, _round_up(n_k, 128))
     pad_q = _round_up(n_q, block_q) - n_q
@@ -358,6 +366,10 @@ def flash_attention(q, k, v, bias=None,
     q2 = q.reshape(b * h, n_q, d)
     k2 = k.reshape(b * h, n_k, d)
     v2 = v.reshape(b * h, n_k, d)
+    if d_pad:
+        q2 = jnp.pad(q2, ((0, 0), (0, 0), (0, d_pad)))
+        k2 = jnp.pad(k2, ((0, 0), (0, 0), (0, d_pad)))
+        v2 = jnp.pad(v2, ((0, 0), (0, 0), (0, d_pad)))
     bias2 = jnp.zeros((b, n_k), jnp.float32) if bias is None \
         else bias.astype(jnp.float32)
     bias2 = jnp.repeat(bias2, h, axis=0) if h > 1 else bias2
@@ -370,9 +382,11 @@ def flash_attention(q, k, v, bias=None,
         bias2 = jnp.pad(bias2, ((0, 0), (0, 0), (0, pad_k)),
                         constant_values=_NEG_INF)
 
-    out = _flash(q2, k2, v2, bias2, block_q, block_k)
+    out = _flash(q2, k2, v2, bias2, block_q, block_k, sm_scale)
     if pad_q:
         out = out[:, :n_q]
+    if d_pad:
+        out = out[:, :, :d]
     return out.reshape(b, h, n_q, d)
 
 

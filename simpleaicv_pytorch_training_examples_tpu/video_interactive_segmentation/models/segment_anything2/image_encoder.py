@@ -18,11 +18,16 @@ from flax import linen as nn
 from ....interactive_segmentation.models.segment_anything.image_encoder import (
     window_partition, window_unpartition)
 
+# flash attention only pays off on long sequences (the global blocks);
+# windowed blocks (<=196 tokens) stay on XLA. Patchable for CPU tests.
+_FLASH_MIN_KV = 1024
+
 
 class MultiScaleAttention(nn.Module):
     planes: int
     head_nums: int
     pool_stride: int = 0
+    use_flash: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -39,10 +44,24 @@ class MultiScaleAttention(nn.Module):
             q = nn.max_pool(q, (s, s), strides=(s, s))
             h, w = q.shape[1], q.shape[2]
             q = q.reshape(b, h * w, nh, hd)
-        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                          preferred_element_type=jnp.float32) * (hd**-0.5)
-        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
+        if self.use_flash and k.shape[1] >= _FLASH_MIN_KV:
+            # global-attention blocks (4096 tokens at 1024^2): the fused
+            # pallas kernel streams K/V through VMEM so the [b, nh, 4096,
+            # 4096] score matrix never reaches HBM in fwd OR bwd. Hiera's
+            # d=56 heads are zero-padded to 64 inside flash_attention
+            # (exact). Windowed blocks (<=196 tokens) stay on XLA.
+            from ....ops.pallas.flash_attention import flash_attention
+            out = flash_attention(q.transpose(0, 2, 1, 3),
+                                  k.transpose(0, 2, 1, 3),
+                                  v.transpose(0, 2, 1, 3),
+                                  force_pallas=True)
+            out = out.transpose(0, 2, 1, 3)
+        else:
+            attn = jnp.einsum(
+                "bqhd,bkhd->bhqk", q, k,
+                preferred_element_type=jnp.float32) * (hd**-0.5)
+            attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
         out = out.reshape(b, h, w, self.planes)
         return nn.Dense(self.planes, dtype=self.dtype, name="proj")(out)
 
@@ -53,6 +72,7 @@ class MultiScaleBlock(nn.Module):
     mlp_ratio: float = 4.0
     pool_stride: int = 0
     window_size: int = 0
+    use_flash: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -71,8 +91,8 @@ class MultiScaleBlock(nn.Module):
             h, w = x.shape[1], x.shape[2]
             x, pad_hw = window_partition(x, window_size)
         x = MultiScaleAttention(self.planes, self.head_nums,
-                                self.pool_stride, self.dtype,
-                                name="attn")(x)
+                                self.pool_stride, self.use_flash,
+                                self.dtype, name="attn")(x)
         if self.pool_stride:
             window_size = self.window_size // self.pool_stride
             h, w = shortcut.shape[1], shortcut.shape[2]
@@ -101,6 +121,7 @@ class Hiera(nn.Module):
     window_specification: Sequence[int] = (8, 4, 14, 7)
     global_attention_blocks: Sequence[int] = (12, 16, 20)
     use_gradient_checkpoint: bool = False
+    use_flash_attention: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -145,7 +166,8 @@ class Hiera(nn.Module):
                 current_stage += 1
             x = block_cls(out_planes, block_heads, 4.0,
                           2 if i in pool_block_idxs else 0, window_size,
-                          self.dtype, name=f"block_{i}")(x)
+                          self.use_flash_attention, self.dtype,
+                          name=f"block_{i}")(x)
             planes, head_nums = out_planes, block_heads
             if i in stage_end_idxs:
                 outs.append(x)
@@ -181,6 +203,7 @@ class ImageEncoder(nn.Module):
     global_attention_blocks: Sequence[int] = (12, 16, 20)
     fpn_planes: int = 256
     use_gradient_checkpoint: bool = False
+    use_flash_attention: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -190,7 +213,8 @@ class ImageEncoder(nn.Module):
                       self.window_position_embedding_bkg_spatial_size,
                       self.window_specification,
                       self.global_attention_blocks,
-                      self.use_gradient_checkpoint, self.dtype,
+                      self.use_gradient_checkpoint,
+                      self.use_flash_attention, self.dtype,
                       name="trunk")(x)
         x0, x1, x2, x3 = feats
         conv = lambda name: nn.Conv(self.fpn_planes, (1, 1),

@@ -38,6 +38,8 @@ class SAM2Image(nn.Module):
     # sam2image.py conv_s0/conv_s1 path)
     use_high_res_features: bool = False
     use_gradient_checkpoint: bool = False
+    # fused pallas attention in the Hiera global blocks (TPU only)
+    use_flash_attention: bool = False
     image_encoder_type: str = "hiera"
     dtype: Any = jnp.float32
 
@@ -57,6 +59,7 @@ class SAM2Image(nn.Module):
                 global_attention_blocks=self.global_attention_blocks,
                 fpn_planes=self.fpn_planes,
                 use_gradient_checkpoint=self.use_gradient_checkpoint,
+                use_flash_attention=self.use_flash_attention,
                 dtype=self.dtype)
         self.prompt_encoder = PromptEncoder(
             image_size=self.image_size, patch_size=16,

@@ -140,6 +140,7 @@ class _SAM2MattingBase(nn.Module):
                 global_attention_blocks=self.global_attention_blocks,
                 fpn_planes=self.fpn_planes,
                 use_gradient_checkpoint=self.use_gradient_checkpoint,
+                use_flash_attention=self.use_flash_attention,
                 dtype=self.dtype)
         self.prompt_encoder = PromptEncoder(
             image_size=self.image_size, patch_size=16,

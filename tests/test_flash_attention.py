@@ -62,13 +62,13 @@ def test_pallas_kernels_interpret_mode():
         return jnp.einsum("gqk,gkd->gqd", p, v)
 
     with pltpu.force_tpu_interpret_mode():
-        out, lse = FA_mod._flash_forward(q, k, v, bias, 128, 128)
+        out, lse = FA_mod._flash_forward(q, k, v, bias, 128, 128, d**-0.5)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref(q, k, v)),
                                    rtol=2e-5, atol=2e-5)
         # fused backward vs autodiff of the reference
         g_out = jnp.asarray(rs.randn(g_, nq, d), jnp.float32)
         dq, dk, dv = FA_mod._flash_backward(q, k, v, bias, out, lse, g_out,
-                                            128, 128)
+                                            128, 128, d**-0.5)
     _, vjp = jax.vjp(ref, q, k, v)
     dq_r, dk_r, dv_r = vjp(g_out)
     for name, a, b in [("dq", dq, dq_r), ("dk", dk, dk_r),
@@ -119,3 +119,90 @@ def test_relpos_kernels_interpret_mode():
     for name, a, b in zip(["dq", "dk", "dv", "drh", "drw"], grads, refs):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=3e-4, atol=3e-4, err_msg=name)
+
+
+def test_padded_head_dim_interpret_mode():
+    """Odd head widths (Hiera's d=56) are zero-padded to 64 by the public
+    wrapper with the softmax scale kept at the ORIGINAL d — verify the
+    padded kernel path is exact vs a d=56 reference, and that the padded
+    dq/dk/dv columns come back zero (so the slice is lossless)."""
+    import importlib
+
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    FA_mod = importlib.import_module(
+        "simpleaicv_pytorch_training_examples_tpu.ops.pallas"
+        ".flash_attention")
+
+    rs = np.random.RandomState(3)
+    g_, nq, nk, d, d_pad = 2, 256, 256, 56, 64
+    q = jnp.asarray(rs.randn(g_, nq, d), jnp.float32)
+    k = jnp.asarray(rs.randn(g_, nk, d), jnp.float32)
+    v = jnp.asarray(rs.randn(g_, nk, d), jnp.float32)
+    bias = jnp.zeros((g_, 1, nk), jnp.float32)
+    pad = ((0, 0), (0, 0), (0, d_pad - d))
+    qp, kp, vp = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+    sm_scale = d**-0.5  # NOT d_pad**-0.5
+
+    def ref(q, k, v):
+        logits = jnp.einsum("gqd,gkd->gqk", q, k) * sm_scale
+        p = jax.nn.softmax(logits, axis=-1)
+        return jnp.einsum("gqk,gkd->gqd", p, v)
+
+    with pltpu.force_tpu_interpret_mode():
+        out, lse = FA_mod._flash_forward(qp, kp, vp, bias, 128, 128,
+                                         sm_scale)
+        g_out = jnp.asarray(rs.randn(g_, nq, d), jnp.float32)
+        g_out_p = jnp.pad(g_out, pad)
+        dq, dk, dv = FA_mod._flash_backward(qp, kp, vp, bias, out, lse,
+                                            g_out_p, 128, 128, sm_scale)
+    np.testing.assert_allclose(np.asarray(out[:, :, :d]),
+                               np.asarray(ref(q, k, v)),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out[:, :, d:]), 0.0, atol=1e-7)
+    _, vjp = jax.vjp(ref, q, k, v)
+    dq_r, dk_r, dv_r = vjp(g_out)
+    for name, a, b in [("dq", dq, dq_r), ("dk", dk, dk_r),
+                       ("dv", dv, dv_r)]:
+        np.testing.assert_allclose(np.asarray(a[:, :, :d]), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+        np.testing.assert_allclose(np.asarray(a[:, :, d:]), 0.0, atol=1e-6,
+                                   err_msg=name + " pad cols")
+
+
+def test_hiera_flash_wiring_parity():
+    """SAM2 Hiera encoder with use_flash_attention on vs off: identical
+    params, allclose outputs (CPU falls back to the XLA reference inside
+    flash_attention, so this validates the qkv transpose wiring and flag
+    threading through ImageEncoder/Hiera/MultiScaleBlock)."""
+    import importlib
+
+    import jax
+    import jax.numpy as jnp
+
+    enc_mod = importlib.import_module(
+        "simpleaicv_pytorch_training_examples_tpu"
+        ".video_interactive_segmentation.models.segment_anything2"
+        ".image_encoder")
+
+    old = enc_mod._FLASH_MIN_KV
+    enc_mod._FLASH_MIN_KV = 1  # trigger the flash path at test size
+    try:
+        kwargs = dict(embedding_planes=32, head_nums=2,
+                      block_nums=(1, 1, 2, 1),
+                      window_specification=(4, 4, 2, 2),
+                      global_attention_blocks=(3,), fpn_planes=32)
+        rs = np.random.RandomState(4)
+        x = jnp.asarray(rs.rand(1, 64, 64, 3), jnp.float32)
+        enc_off = enc_mod.ImageEncoder(use_flash_attention=False, **kwargs)
+        enc_on = enc_mod.ImageEncoder(use_flash_attention=True, **kwargs)
+        variables = enc_off.init(jax.random.PRNGKey(0), x)
+        feats_off, _ = enc_off.apply(variables, x)
+        feats_on, _ = enc_on.apply(variables, x)  # same param tree
+        for a, b in zip(feats_off, feats_on):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=2e-5)
+    finally:
+        enc_mod._FLASH_MIN_KV = old
