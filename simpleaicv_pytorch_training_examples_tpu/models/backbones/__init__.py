@@ -26,3 +26,8 @@ from .dinov3_vit import (dinov3_vit_small_patch16_backbone,
                          dinov3_vit_large_plus_patch16_det_backbone,
                          dinov3_vit_huge_plus_patch16_det_backbone,
                          DINOv3MultiScaleBackbone, VitPyramidNeck)
+from .dinov3_convnext import (dinov3convnexttinybackbone,
+                              dinov3convnextsmallbackbone,
+                              dinov3convnextbasebackbone,
+                              dinov3convnextlargebackbone,
+                              Dinov3ConvNeXtBackbone)

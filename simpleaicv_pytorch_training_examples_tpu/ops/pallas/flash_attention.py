@@ -356,7 +356,7 @@ def flash_attention(q, k, v, bias=None,
     # zero dims add nothing to the logits and the padded V columns are
     # sliced off the output.
     sm_scale = d**-0.5
-    d_pad = max(64, _round_up(d, 64)) - d
+    d_pad = _round_up(d, 64) - d
 
     block_q = min(block_q, _round_up(n_q, 128))
     block_k = min(block_k, _round_up(n_k, 128))

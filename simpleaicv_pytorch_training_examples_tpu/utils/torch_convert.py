@@ -17,6 +17,7 @@ import numpy as np
 __all__ = ["convert_resnet_state_dict", "convert_vit_state_dict",
            "convert_van_state_dict", "convert_convformer_state_dict",
            "convert_dinov3_vit_state_dict",
+           "convert_dinov3_convnext_state_dict",
            "convert_sam_encoder_state_dict", "convert_sam_state_dict",
            "convert_sam2_encoder_state_dict", "convert_sam2_state_dict",
            "merge_converted"]
@@ -151,6 +152,49 @@ def merge_converted(params_tree, batch_stats_tree, params_flat,
     if logger:
         logger.info(f"converted: {n1}/{t1} params, {n2} batch stats")
     return merged_params, merged_stats
+
+
+def convert_dinov3_convnext_state_dict(sd):
+    """Reference Dinov3ConvNeXtBackbone (detection/models/backbones/
+    dinov3convnext.py:120-193 naming: downsample_layers.{i}.{0,1},
+    stages.{i}.{j}.{dwconv,norm,pwconv1,pwconv2,gamma}) -> this
+    framework's Dinov3ConvNeXtBackbone flat params (stem_conv/stem_norm,
+    downsample{i}_{norm,conv}, stage{i}_block{j}.*). No batch stats
+    (LayerNorm only)."""
+    params = {}
+    arr = lambda k: np.asarray(sd[k])
+    params["stem_conv.kernel"] = _conv_w(arr("downsample_layers.0.0.weight"))
+    params["stem_conv.bias"] = arr("downsample_layers.0.0.bias")
+    params["stem_norm.scale"] = arr("downsample_layers.0.1.weight")
+    params["stem_norm.bias"] = arr("downsample_layers.0.1.bias")
+    i = 1
+    while f"downsample_layers.{i}.0.weight" in sd:
+        params[f"downsample{i}_norm.scale"] = arr(
+            f"downsample_layers.{i}.0.weight")
+        params[f"downsample{i}_norm.bias"] = arr(
+            f"downsample_layers.{i}.0.bias")
+        params[f"downsample{i}_conv.kernel"] = _conv_w(
+            arr(f"downsample_layers.{i}.1.weight"))
+        params[f"downsample{i}_conv.bias"] = arr(
+            f"downsample_layers.{i}.1.bias")
+        i += 1
+    block_re = re.compile(r"^stages\.(\d+)\.(\d+)\.dwconv\.weight$")
+    for key in sd:
+        m = block_re.match(key)
+        if not m:
+            continue
+        i, j = int(m.group(1)), int(m.group(2))
+        t, f = f"stages.{i}.{j}", f"stage{i}_block{j}"
+        params[f"{f}.dwconv.kernel"] = _dw_conv_w(arr(f"{t}.dwconv.weight"))
+        params[f"{f}.dwconv.bias"] = arr(f"{t}.dwconv.bias")
+        params[f"{f}.norm.scale"] = arr(f"{t}.norm.weight")
+        params[f"{f}.norm.bias"] = arr(f"{t}.norm.bias")
+        params[f"{f}.pwconv1.kernel"] = _linear_w(arr(f"{t}.pwconv1.weight"))
+        params[f"{f}.pwconv1.bias"] = arr(f"{t}.pwconv1.bias")
+        params[f"{f}.pwconv2.kernel"] = _linear_w(arr(f"{t}.pwconv2.weight"))
+        params[f"{f}.pwconv2.bias"] = arr(f"{t}.pwconv2.bias")
+        params[f"{f}.gamma"] = arr(f"{t}.gamma")
+    return params, {}
 
 
 def convert_van_state_dict(sd):

@@ -150,8 +150,10 @@ class SAM2Video(nn.Module):
     # across T-1 frames instead of T-1 inlined copies (same numerics,
     # much smaller HLO for the T=8/16 staged recipes)
     use_scan: bool = False
-    # route memory attention through the fused pallas flash kernel (TPU
-    # only; falls back to XLA attention off-TPU)
+    # route memory attention AND the Hiera global encoder blocks through
+    # the fused pallas flash kernels (TPU only; falls back to XLA
+    # attention off-TPU). Widened from memory-attention-only in round 3 —
+    # expect bf16-rounding-level encoder output changes when toggling.
     use_flash_attention: bool = False
     # stride-4/8 FPN features skip into the decoder upscaling (reference
     # mask_decoder.py conv_s0/conv_s1 — always on in the reference; off by

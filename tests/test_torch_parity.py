@@ -594,3 +594,59 @@ def test_sam_full_model_parity_with_reference():
                                np.asarray(j_masks), atol=2e-2, rtol=1e-3)
     np.testing.assert_allclose(t_ious.detach().numpy(),
                                np.asarray(j_ious), atol=1e-3)
+
+
+def test_dinov3_convnext_feature_parity_with_reference():
+    """Same converted weights -> same 4-level features for the ConvNeXt
+    detection backbone (reference detection/models/backbones/
+    dinov3convnext.py), tiny variant at reduced depth."""
+    import types
+    for name in ("torchvision", "torchvision.transforms",
+                 "torchvision.ops"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    sys.modules["torchvision"].transforms = \
+        sys.modules["torchvision.transforms"]
+    sys.path.insert(0, REFERENCE)
+    import importlib
+    import torch
+    ref = importlib.import_module(
+        "SimpleAICV.detection.models.backbones.dinov3convnext")
+
+    torch.manual_seed(0)
+    tnet = ref.Dinov3ConvNeXtBackbone(embedding_planes=[32, 64, 96, 128],
+                                      block_nums=[2, 2, 3, 2]).eval()
+    sd = {k: v.detach().numpy() for k, v in tnet.state_dict().items()}
+
+    import jax
+    import jax.numpy as jnp
+    from simpleaicv_pytorch_training_examples_tpu.models.backbones.dinov3_convnext import (
+        Dinov3ConvNeXtBackbone)
+    from simpleaicv_pytorch_training_examples_tpu.utils.torch_convert import (
+        convert_dinov3_convnext_state_dict, merge_converted)
+
+    jnet = Dinov3ConvNeXtBackbone(embedding_planes=(32, 64, 96, 128),
+                                  block_nums=(2, 2, 3, 2))
+    v = jnet.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    pf, _ = convert_dinov3_convnext_state_dict(sd)
+    missing = sorted(n for n in pf
+                     if n.replace(".", "/") not in
+                     {"/".join(p) for p in _flat_paths(v["params"])})
+    params, _ = merge_converted(v["params"], {}, pf, {})
+
+    x = np.random.RandomState(0).rand(1, 64, 64, 3).astype(np.float32)
+    with torch.no_grad():
+        t_outs = tnet(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    j_outs = jnet.apply({"params": params}, jnp.asarray(x))
+    assert len(t_outs) == len(j_outs) == 4
+    for t_o, j_o in zip(t_outs, j_outs):
+        np.testing.assert_allclose(
+            t_o.permute(0, 2, 3, 1).numpy(), np.asarray(j_o),
+            atol=2e-5, rtol=1e-4)
+
+
+def _flat_paths(tree, prefix=()):
+    if isinstance(tree, dict):
+        for k, sub in tree.items():
+            yield from _flat_paths(sub, prefix + (k,))
+    else:
+        yield prefix
