@@ -281,6 +281,46 @@ def predict_sam(image, points, network, checkpoint, resize=1024,
                       interpolation=cv2.INTER_NEAREST)
 
 
+def predict_sam_box(image, box, network, checkpoint, resize=1024):
+    """box: [x1, y1, x2, y2] in original-image coords — the box-prompt
+    path the reference circle-target gradio demo uses (it converts the
+    brushed region's bounding rect into a prompt box,
+    /root/reference/gradio_demo/13.0.1.gradio_sam_circle_target_single_image.py:115-133)."""
+    import jax
+    import jax.numpy as jnp
+
+    from simpleaicv_pytorch_training_examples_tpu.classification.common import (
+        load_state_dict)
+    from simpleaicv_pytorch_training_examples_tpu.engine import (
+        apply_pretrained)
+    from simpleaicv_pytorch_training_examples_tpu.interactive_segmentation.models import (
+        segment_anything)
+    model = segment_anything.__dict__[network](image_size=resize)
+    x, factor = pad_resize(image, resize)
+    boxes = np.asarray([[b * factor for b in box]], np.float32)
+    prompts = {"prompt_point": None, "prompt_box": boxes,
+               "prompt_mask": None}
+    load_state_dict(checkpoint, model)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, resize, resize, 3)), prompts)
+    params = apply_pretrained(model, variables.pop("params"))
+
+    @jax.jit
+    def forward(params, x, boxes):
+        return model.apply({"params": params, **variables}, x,
+                           {"prompt_point": None, "prompt_box": boxes,
+                            "prompt_mask": None})
+
+    masks, ious = forward(params, jnp.asarray(x), jnp.asarray(boxes))
+    masks, ious = np.asarray(masks)[0], np.asarray(ious)[0]
+    best = masks[ious.argmax()] > 0
+    import cv2
+    h, w = image.shape[:2]
+    rh, rw = int(round(h * factor)), int(round(w * factor))
+    return cv2.resize(best[:rh, :rw].astype(np.uint8), (w, h),
+                      interpolation=cv2.INTER_NEAREST)
+
+
 def predict_universal(image, network, checkpoint, num_classes, resize=512,
                       matting=False):
     import jax.numpy as jnp

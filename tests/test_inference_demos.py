@@ -45,3 +45,30 @@ def test_predict_text_recognition_demo(image):
 
     text = predict_text_recognition(image, "resnet18_ctc_model", "")
     assert isinstance(text, str)
+
+
+def test_predict_sam_box_circle_demo(image):
+    """Circle-target gradio/CLI demo path: brushed-layer alpha ->
+    bounding box -> SAM box prompt (reference gradio 13.0.1)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(DEMO), "gradio_demo"))
+    import importlib
+    circle = importlib.import_module(
+        "13_0_1_gradio_sam_circle_target_single_image")
+    from _predictors import predict_sam_box
+
+    layer = np.zeros(image.shape[:2] + (4,), np.uint8)
+    layer[30:60, 40:90, 3] = 255  # brushed ring region
+    editor_value = {"background": image, "layers": [layer],
+                    "composite": image}
+    img, box = circle.extract_circle_box(editor_value)
+    assert img is not None
+    assert box == [40.0, 30.0, 90.0, 60.0]
+
+    mask = predict_sam_box(img, box, "sam_b", "", resize=128)
+    assert mask.shape == image.shape[:2]
+    assert set(np.unique(mask)) <= {0, 1}
+
+    # nothing drawn -> graceful None
+    assert circle.extract_circle_box(
+        {"background": image, "layers": [np.zeros_like(layer)],
+         "composite": image}) == (None, None)
