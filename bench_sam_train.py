@@ -22,10 +22,13 @@ import argparse
 import time
 
 
-def bench_sam_train(use_flash=True, remat_policy=None):
-    """SAM-B 1024^2 full train step (fwd+bwd, remat, bf16) with the
+def bench_sam_train(use_flash=True, remat_policy=None, bs=2,
+                    use_remat=True, iters=5):
+    """SAM-B 1024^2 full train step (fwd+bwd, bf16) with the
     decomposed-rel-pos pallas flash kernel — the production
-    sam_b_training path. See module docstring for the measured table."""
+    sam_b_training path. See module docstring for the measured table.
+    use_remat=False turns block checkpointing off entirely (the flash
+    kernels free enough HBM that moderate batches fit full-activation)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -35,8 +38,7 @@ def bench_sam_train(use_flash=True, remat_policy=None):
     from simpleaicv_pytorch_training_examples_tpu.interactive_segmentation.models.segment_anything.sam import (
         SAM)
 
-    bs = 2
-    model = SAM(image_size=1024, use_gradient_checkpoint=True,
+    model = SAM(image_size=1024, use_gradient_checkpoint=use_remat,
                 remat_policy=remat_policy,
                 use_flash_attention=use_flash, dtype=jnp.bfloat16)
     rs = np.random.RandomState(0)
@@ -61,7 +63,6 @@ def bench_sam_train(use_flash=True, remat_policy=None):
 
     loss, grads = step(variables, images)
     float(loss)
-    iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
         loss, grads = step(variables, images)

@@ -786,3 +786,233 @@ def fused_attention_qkv(qkv, n_real=None, block_heads=16,
     while h % hg:
         hg -= 1
     return _fused_packed(qkv, hg, n_real, interpret)
+
+
+# ----------------------------- decomposed rel-pos windowed variant
+# Same whole-window in-VMEM attention as the biased variant, but the SAM
+# windowed rel-pos bias stays DECOMPOSED: inputs are the tiny q-contracted
+# rel_h [g, n, KH] / rel_w [g, n, KW] terms (n = KH*KW) and the
+# bias[i, jh*KW+jw] = rel_h[i, jh] + rel_w[i, jw] expansion happens
+# in-kernel via static one-hot matmuls (exact in fp32). Removes every HBM
+# round-trip of the [g, n, n] bias: the biased path costs
+# write(bias) + 2x read + write(dbias) + read(dbias-VJP) — ~5 x 184 MB
+# per SAM-B windowed block at bs4. Backward contracts d_rel directly
+# in-kernel (d_rel_h = ds0 @ kh_oh^T), so no [n, n] tensor exists
+# anywhere for this path.
+
+
+def _win_onehots(kh_size, kw_size, n):
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    kh_j = col // kw_size
+    kw_j = col % kw_size
+    kh_i = jax.lax.broadcasted_iota(jnp.int32, (kh_size, 1), 0)
+    kw_i = jax.lax.broadcasted_iota(jnp.int32, (kw_size, 1), 0)
+    return ((kh_i == kh_j).astype(jnp.float32),
+            (kw_i == kw_j).astype(jnp.float32))
+
+
+def _fwd_kernel_relwin(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *, bg,
+                       n_real, n_pad, sm_scale, kh_size, kw_size):
+    mask = None
+    if n_real < n_pad:
+        col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
+        mask = jnp.where(col < n_real, 0.0, _NEG_INF).astype(jnp.float32)
+    kh_oh, kw_oh = _win_onehots(kh_size, kw_size, n_pad)
+    for g in range(bg):
+        q = q_ref[g]
+        k = k_ref[g]
+        v = v_ref[g]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale
+        s = s + jax.lax.dot_general(
+            rh_ref[g].astype(jnp.float32), kh_oh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        s = s + jax.lax.dot_general(
+            rw_ref[g].astype(jnp.float32), kw_oh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if mask is not None:
+            s = s + mask
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        p = (p / l).astype(q.dtype)
+        o_ref[g] = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _bwd_kernel_relwin(q_ref, k_ref, v_ref, rh_ref, rw_ref, do_ref,
+                       dq_ref, dk_ref, dv_ref, drh_ref, drw_ref, *, bg,
+                       n_real, n_pad, sm_scale, kh_size, kw_size):
+    mask = None
+    if n_real < n_pad:
+        col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
+        mask = jnp.where(col < n_real, 0.0, _NEG_INF).astype(jnp.float32)
+    kh_oh, kw_oh = _win_onehots(kh_size, kw_size, n_pad)
+    for g in range(bg):
+        q = q_ref[g]
+        k = k_ref[g]
+        v = v_ref[g]
+        do = do_ref[g]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale
+        s = s + jax.lax.dot_general(
+            rh_ref[g].astype(jnp.float32), kh_oh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        s = s + jax.lax.dot_general(
+            rw_ref[g].astype(jnp.float32), kw_oh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if mask is not None:
+            s = s + mask
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        l = jnp.sum(e, axis=-1, keepdims=True)
+        p = e / l
+        pb = p.astype(q.dtype)
+        dv_ref[g] = jax.lax.dot_general(
+            pb, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        row = jnp.sum(dp * p, axis=-1, keepdims=True)
+        ds0 = p * (dp - row)                   # d/dbias (no sm_scale)
+        drh_ref[g] = jax.lax.dot_general(
+            ds0, kh_oh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(drh_ref.dtype)
+        drw_ref[g] = jax.lax.dot_general(
+            ds0, kw_oh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(drw_ref.dtype)
+        ds = (ds0 * sm_scale).astype(q.dtype)
+        dq_ref[g] = jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+        dk_ref[g] = jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+
+
+def _relwin_fwd_factory(params):
+    bg, n_real, kh_size, kw_size, interpret = params
+
+    def fn(q3, k3, v3, rh3, rw3):
+        g_total, n_pad, d = q3.shape
+        sm_scale = d ** -0.5
+        grid = (g_total // bg,)
+        spec = pl.BlockSpec((bg, n_pad, d), lambda i: (i, 0, 0))
+        rhspec = pl.BlockSpec((bg, n_pad, kh_size), lambda i: (i, 0, 0))
+        rwspec = pl.BlockSpec((bg, n_pad, kw_size), lambda i: (i, 0, 0))
+        return pl.pallas_call(
+            functools.partial(_fwd_kernel_relwin, bg=bg, n_real=n_real,
+                              n_pad=n_pad, sm_scale=sm_scale,
+                              kh_size=kh_size, kw_size=kw_size),
+            grid=grid,
+            in_specs=[spec, spec, spec, rhspec, rwspec],
+            out_specs=spec,
+            out_shape=jax.ShapeDtypeStruct(q3.shape, q3.dtype),
+            interpret=interpret,
+        )(q3, k3, v3, rh3, rw3)
+    return fn
+
+
+def _relwin_bwd_factory(params):
+    bg, n_real, kh_size, kw_size, interpret = params
+
+    def fn(q3, k3, v3, rh3, rw3, do3):
+        g_total, n_pad, d = q3.shape
+        sm_scale = d ** -0.5
+        grid = (g_total // bg,)
+        spec = pl.BlockSpec((bg, n_pad, d), lambda i: (i, 0, 0))
+        rhspec = pl.BlockSpec((bg, n_pad, kh_size), lambda i: (i, 0, 0))
+        rwspec = pl.BlockSpec((bg, n_pad, kw_size), lambda i: (i, 0, 0))
+        shape = jax.ShapeDtypeStruct(q3.shape, q3.dtype)
+        return pl.pallas_call(
+            functools.partial(_bwd_kernel_relwin, bg=bg, n_real=n_real,
+                              n_pad=n_pad, sm_scale=sm_scale,
+                              kh_size=kh_size, kw_size=kw_size),
+            grid=grid,
+            in_specs=[spec, spec, spec, rhspec, rwspec, spec],
+            out_specs=[spec, spec, spec, rhspec, rwspec],
+            out_shape=[shape, shape, shape,
+                       jax.ShapeDtypeStruct(rh3.shape, rh3.dtype),
+                       jax.ShapeDtypeStruct(rw3.shape, rw3.dtype)],
+            interpret=interpret,
+        )(q3, k3, v3, rh3, rw3, do3)
+    return fn
+
+
+_RELWIN_FWD_RULE = "g n d, g n d, g n d, g n h, g n w -> g n d"
+_RELWIN_BWD_RULE = ("g n d, g n d, g n d, g n h, g n w, g n d"
+                    " -> g n d, g n d, g n d, g n h, g n w")
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _fused_relwin(q3, k3, v3, rh3, rw3, bg, n_real, kh_size, kw_size,
+                  interpret):
+    from .partitioning import cached_axis0
+    fn = cached_axis0(_relwin_fwd_factory,
+                      (bg, n_real, kh_size, kw_size, interpret),
+                      _RELWIN_FWD_RULE)
+    return fn(q3, k3, v3, rh3, rw3)
+
+
+def _fused_relwin_fwd(q3, k3, v3, rh3, rw3, bg, n_real, kh_size, kw_size,
+                      interpret):
+    out = _fused_relwin(q3, k3, v3, rh3, rw3, bg, n_real, kh_size,
+                        kw_size, interpret)
+    return out, (q3, k3, v3, rh3, rw3)
+
+
+def _fused_relwin_bwd(bg, n_real, kh_size, kw_size, interpret, res, g_out):
+    q3, k3, v3, rh3, rw3 = res
+    from .partitioning import cached_axis0
+    fn = cached_axis0(_relwin_bwd_factory,
+                      (bg, n_real, kh_size, kw_size, interpret),
+                      _RELWIN_BWD_RULE)
+    return fn(q3, k3, v3, rh3, rw3, g_out.astype(q3.dtype))
+
+
+_fused_relwin.defvjp(_fused_relwin_fwd, _fused_relwin_bwd)
+
+
+def fused_attention_relwin(q, k, v, rel_h, rel_w, n_real=None,
+                           block_heads=8, force_pallas=False,
+                           interpret=False):
+    """Whole-window fused attention with DECOMPOSED rel-pos terms:
+    score[i, jh*KW+jw] = q.k*scale + rel_h[i, jh] + rel_w[i, jw].
+
+    q/k/v [B, H, N, D]; rel_h [B, H, N, KH]; rel_w [B, H, N, KW] with
+    N == KH * KW (SAM windowed attention: N=196, KH=KW=14). Exact same
+    numerics as materializing the bias (one-hot expansion in fp32), with
+    gradients to q/k/v and both rel terms; the [N, N] bias/probs never
+    reach HBM in forward OR backward. Falls back to the XLA composition
+    off-TPU, for D > 128, or N > 1024."""
+    b, h, n, d = q.shape
+    kh_size = rel_h.shape[-1]
+    kw_size = rel_w.shape[-1]
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    ok = (n == kh_size * kw_size and d <= 128 and n <= 1024)
+    if not (ok and (interpret or (force_pallas and on_tpu))):
+        bias = (rel_h[..., :, None] + rel_w[..., None, :]).reshape(
+            b, h, n, kh_size * kw_size)
+        if bias.shape[-1] != n:  # decomposition mismatch: plain fallback
+            bias = bias[..., :n]
+        return _reference_bias(q, k, v, bias,
+                               n_real if n_real is not None and n_real < n
+                               else None)
+
+    n_real = n if n_real is None else min(n_real, n)
+    g_total = b * h
+    bg = block_heads
+    while g_total % bg:
+        bg //= 2
+    out = _fused_relwin(q.reshape(g_total, n, d), k.reshape(g_total, n, d),
+                        v.reshape(g_total, n, d),
+                        rel_h.reshape(g_total, n, kh_size).astype(
+                            jnp.float32),
+                        rel_w.reshape(g_total, n, kw_size).astype(
+                            jnp.float32),
+                        bg, n_real, kh_size, kw_size, interpret)
+    return out.reshape(b, h, n, d)

@@ -560,6 +560,19 @@ class SAM2Video(nn.Module):
             s4, s8 = self.image_size // 4, self.image_size // 8
             hr4 = features[0].reshape(b, t_frames, s4, s4, self.fpn_planes)
             hr8 = features[1].reshape(b, t_frames, s8, s8, self.fpn_planes)
+        return self.track_from_features(
+            feat16, pos16, hr4, hr8, frame0_prompts, gt_masks=gt_masks,
+            is_cond_frame=is_cond_frame, is_iter_frame=is_iter_frame,
+            rng=rng, point_iters=point_iters)
+
+    def track_from_features(self, feat16, pos16, hr4, hr8, frame0_prompts,
+                            gt_masks=None, is_cond_frame=None,
+                            is_iter_frame=None, rng=None, point_iters=0):
+        """The post-encoder half of __call__: prompt frame 0 then
+        memory-track the remaining frames (nn.scan or unrolled). Split out
+        so the encoder and the track loop can be profiled/compiled
+        separately (tools/perf/sam2_compile_lab.py)."""
+        b, t_frames = feat16.shape[0], feat16.shape[1]
 
         def hr_at(t):
             if hr4 is None:

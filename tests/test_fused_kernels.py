@@ -526,3 +526,48 @@ def test_patch_embed_matches_conv():
     assert out_pe.shape == (2, 4, 4, c_out)
     np.testing.assert_allclose(np.asarray(out_pe), np.asarray(out_conv),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_fused_attention_relwin_interpret_exact():
+    """Decomposed rel-pos windowed kernel == materialized-bias reference
+    (fwd and every gradient), interpret mode at a tiny window."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from simpleaicv_pytorch_training_examples_tpu.ops.pallas.fused_attention import (
+        fused_attention_relwin)
+
+    kh, kw = 3, 4
+    b, h, n, d = 2, 2, kh * kw, 8
+    rs = np.random.RandomState(0)
+    q = jnp.asarray(rs.randn(b, h, n, d), jnp.float32)
+    k = jnp.asarray(rs.randn(b, h, n, d), jnp.float32)
+    v = jnp.asarray(rs.randn(b, h, n, d), jnp.float32)
+    rel_h = jnp.asarray(rs.randn(b, h, n, kh), jnp.float32)
+    rel_w = jnp.asarray(rs.randn(b, h, n, kw), jnp.float32)
+
+    def ref(q, k, v, rel_h, rel_w):
+        bias = (rel_h[..., :, None] + rel_w[..., None, :]).reshape(
+            b, h, n, n)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (d ** -0.5) + bias
+        p = jax.nn.softmax(logits, axis=-1)
+        return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+    got = fused_attention_relwin(q, k, v, rel_h, rel_w, interpret=True)
+    want = ref(q, k, v, rel_h, rel_w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-5)
+
+    def loss(fn, *args):
+        return (fn(*args) ** 2).mean()
+
+    g_got = jax.grad(lambda *a: loss(
+        lambda *x: fused_attention_relwin(*x, interpret=True), *a),
+        argnums=(0, 1, 2, 3, 4))(q, k, v, rel_h, rel_w)
+    g_want = jax.grad(lambda *a: loss(ref, *a),
+                      argnums=(0, 1, 2, 3, 4))(q, k, v, rel_h, rel_w)
+    for gg, gw, name in zip(g_got, g_want, "q k v rel_h rel_w".split()):
+        np.testing.assert_allclose(np.asarray(gg), np.asarray(gw),
+                                   atol=3e-5, rtol=1e-4,
+                                   err_msg=f"d{name}")
