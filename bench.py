@@ -203,15 +203,24 @@ SAM_B_FWD_FLOPS = 0.96e12
 
 
 def bench_sam_train_detail():
-    """SAM-B 1024^2 full train step, flash-attention on vs off (VERDICT
-    r2 next #4): returns (ips_flash, mfu_flash, xla_over_flash_ratio)."""
+    """SAM-B 1024^2 full train step (VERDICT r2 next #4, r3 next #2):
+    returns (ips_flash, mfu_flash, xla_over_flash_ratio).
+
+    Headline ips/mfu use the round-4 production config: bs4, NO block
+    remat (the flash kernels freed the HBM that remat was buying back —
+    bwd stops paying a full forward of recompute; 0.172 -> 0.22 MFU
+    measured). The flash-vs-XLA ratio stays at the round-3 bs2+remat
+    config so the speedup trend is comparable across rounds (the XLA
+    baseline cannot run unremat'd at bs4: the [48, 4096, 4096] probs
+    would materialize in HBM)."""
     from bench_sam_train import bench_sam_train
 
+    ms_flash4 = bench_sam_train(use_flash=True, bs=4, use_remat=False)
     ms_flash = bench_sam_train(use_flash=True)
     ms_xla = bench_sam_train(use_flash=False)
-    bs = 2
-    ips = bs / (ms_flash / 1000.0)
-    mfu = (3.0 * SAM_B_FWD_FLOPS * bs / (ms_flash / 1000.0)
+    bs = 4
+    ips = bs / (ms_flash4 / 1000.0)
+    mfu = (3.0 * SAM_B_FWD_FLOPS * bs / (ms_flash4 / 1000.0)
            / _chip_peak_bf16_flops())
     return ips, mfu, ms_xla / ms_flash
 

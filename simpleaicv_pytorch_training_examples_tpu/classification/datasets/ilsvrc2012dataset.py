@@ -45,8 +45,12 @@ class ILSVRC2012Dataset:
             data = np.fromfile(self.image_paths[idx], dtype=np.uint8)
             image = cv2.cvtColor(cv2.imdecode(data, cv2.IMREAD_COLOR),
                                  cv2.COLOR_BGR2RGB)
-        sample = {"image": image.astype(np.float32),
-                  "label": int(self.labels[idx])}
+        # stays uint8 through crop/resize/augment — torchvision's PIL
+        # pipeline is uint8 until ToTensor too, and the float conversion
+        # belongs to TorchMeanStdNormalize (fused there); decode-size
+        # float32 conversion + float resize cost ~1.5 ms/img of the host
+        # budget (tools/perf/loader_bench.py)
+        sample = {"image": image, "label": int(self.labels[idx])}
         if self.transform is not None:
             sample = self.transform(sample)
         return sample

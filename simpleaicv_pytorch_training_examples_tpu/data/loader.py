@@ -57,7 +57,11 @@ class DataLoader:
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.seed = seed
-        self.num_workers = max(1, num_workers)
+        # more threads than cores only adds GIL/context-switch thrash for
+        # the numpy/PIL portions that hold the GIL
+        # (tools/perf/loader_bench.py)
+        import os
+        self.num_workers = max(1, min(num_workers, os.cpu_count() or 8))
         self.prefetch = prefetch
         self.process_index = process_index
         self.process_count = process_count

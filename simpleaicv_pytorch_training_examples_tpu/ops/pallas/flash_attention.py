@@ -410,7 +410,12 @@ def _rel_onehots(offset, block_k, kh_size, kw_size):
 
 
 def _rel_score_block(q, k, rh, rw, offset, sm_scale, kh_size, kw_size):
-    """[bq, bk] scores with decomposed rel-pos terms."""
+    """[bq, bk] scores with decomposed rel-pos terms.
+
+    The one-hot dots stay fp32 (exact): a bf16 A/B at the SAM-B global
+    shape measured 25.07 -> 24.44 ms fwd+bwd (~2.5%, round 4) — the
+    kernel is bound by the K=64 score/grad dots and the VPU softmax, not
+    by fp32 one-hot rate, so exactness costs almost nothing."""
     s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * sm_scale
     kh_oh, kw_oh = _rel_onehots(offset, k.shape[0], kh_size, kw_size)
     s = s + jnp.dot(rh, kh_oh, preferred_element_type=jnp.float32)

@@ -116,13 +116,20 @@ def bench_loader(root, batch_size=256, num_workers=8, batches=8,
     ds = _dataset(root, input_size)
     loader = DataLoader(ds, batch_size, ClassificationCollater(),
                         shuffle=True, num_workers=num_workers)
-    it = iter(loader)
+
+    def batches_forever():
+        epoch = 0
+        while True:
+            loader.set_epoch(epoch)
+            yield from loader
+            epoch += 1
+
+    it = batches_forever()
     next(it)  # warm the thread pool + page cache
     t0 = time.perf_counter()
     n = 0
     for _ in range(batches):
-        batch = next(it)
-        n += batch["image"].shape[0]
+        n += next(it)["image"].shape[0]
     dt = time.perf_counter() - t0
     return n / dt
 
