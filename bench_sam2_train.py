@@ -18,7 +18,7 @@ import argparse
 import time
 
 
-def bench_sam2_train(use_flash=True, frames=4, bs=1):
+def bench_sam2_train(use_flash=True, frames=4, bs=1, use_remat=True):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -31,7 +31,7 @@ def bench_sam2_train(use_flash=True, frames=4, bs=1):
         build_loss_fn)
 
     model = sam2_hiera_base_plus_video(
-        image_size=1024, use_gradient_checkpoint=True, use_scan=True,
+        image_size=1024, use_gradient_checkpoint=use_remat, use_scan=True,
         use_high_res_features=True, use_flash_attention=use_flash,
         memory_cond_slots=2, dtype=jnp.bfloat16)
 
@@ -133,13 +133,15 @@ def main():
     p.add_argument("--bs", type=int, default=1)
     p.add_argument("--encoder", action="store_true",
                    help="encoder-only attribution probe")
+    p.add_argument("--no-remat", action="store_true",
+                   help="disable Hiera block checkpointing")
     args = p.parse_args()
     if args.encoder:
         bench_encoder(frames=args.frames, bs=args.bs,
                       use_flash=not args.xla)
         return
     ms = bench_sam2_train(use_flash=not args.xla, frames=args.frames,
-                          bs=args.bs)
+                          bs=args.bs, use_remat=not args.no_remat)
     fps = args.bs * args.frames / (ms / 1000.0)
     print(f"SAM2 hiera-B+ train bs{args.bs} T{args.frames} "
           f"[{'xla' if args.xla else 'flash'}]: {ms:.1f} ms/step "

@@ -49,9 +49,20 @@ class MultiScaleAttention(nn.Module):
             # pallas kernel streams K/V through VMEM so the [b, nh, 4096,
             # 4096] score matrix never reaches HBM in fwd OR bwd. Hiera's
             # d=56 heads are zero-padded to 64 inside flash_attention
-            # (exact). Windowed blocks (<=196 tokens) stay on XLA.
+            # (exact).
             from ....ops.pallas.flash_attention import flash_attention
             out = flash_attention(q.transpose(0, 2, 1, 3),
+                                  k.transpose(0, 2, 1, 3),
+                                  v.transpose(0, 2, 1, 3),
+                                  force_pallas=True)
+            out = out.transpose(0, 2, 1, 3)
+        elif self.use_flash and not self.pool_stride and \
+                k.shape[1] <= 1024 and hd <= 128:
+            # non-pooled windowed blocks (<=196 tokens): whole-window
+            # in-VMEM fused attention — probs never reach HBM in fwd or
+            # the remat'd bwd (ops/pallas/fused_attention.py)
+            from ....ops.pallas.fused_attention import fused_attention
+            out = fused_attention(q.transpose(0, 2, 1, 3),
                                   k.transpose(0, 2, 1, 3),
                                   v.transpose(0, 2, 1, 3),
                                   force_pallas=True)

@@ -455,12 +455,25 @@ class SAM2Video(nn.Module):
         outs = self._decode_frame(conditioned, frame_prompts,
                                   highres=highres)
         if point_iters > 0 and gt_mask is not None:
-            refined = self._point_iter_refine(conditioned, outs, gt_mask,
-                                              rng, point_iters,
-                                              highres=highres)
-            sel = iter_flag > 0 if iter_flag is not None else False
-            outs = tuple(jnp.where(sel, r, o)
-                         for r, o in zip(refined, outs))
+            if iter_flag is None:
+                outs = self._point_iter_refine(conditioned, outs, gt_mask,
+                                               rng, point_iters,
+                                               highres=highres)
+            else:
+                # lifted cond: the 2x-point_iters extra decoder passes run
+                # ONLY on flagged iteration frames (one of T in the recipe)
+                # instead of computing refinement on every scan frame and
+                # masking the result — a traced-predicate lax.cond executes
+                # a single branch at runtime
+                def _refine(mdl, outs):
+                    return mdl._point_iter_refine(
+                        conditioned, outs, gt_mask, rng, point_iters,
+                        highres=highres)
+
+                def _keep(mdl, outs):
+                    return outs
+
+                outs = nn.cond(iter_flag > 0, _refine, _keep, self, outs)
         masks, ious, obj, pointer, best_mask = outs
         carry = self._write_memory(
             carry, feat, best_mask, pointer,
@@ -546,9 +559,21 @@ class SAM2Video(nn.Module):
           point_iters > 0: point-iteration frames re-click the error
           region in-graph and re-decode (reference
           sam2video_train.py:840-911)."""
+        feat16, pos16, hr4, hr8 = self.encode_frames_batch(images)
+        return self.track_from_features(
+            feat16, pos16, hr4, hr8, frame0_prompts, gt_masks=gt_masks,
+            is_cond_frame=is_cond_frame, is_iter_frame=is_iter_frame,
+            rng=rng, point_iters=point_iters)
+
+    def encode_frames_batch(self, images):
+        """images [B, T, H, W, 3] -> (feat16, pos16, hr4, hr8) with a
+        leading [B, T] on each (hr* None unless use_high_res_features).
+        The encoder half of __call__, exposed so the train step can be
+        compiled as encoder / track / encoder-VJP stages (the fused
+        T-frame graph compiles superlinearly — tools/perf/
+        sam2_compile_lab.py)."""
         b, t_frames = images.shape[0], images.shape[1]
         s16 = self.image_size // 16
-
         flat = images.reshape(b * t_frames, *images.shape[2:])
         features, positions = self.image_encoder(flat)
         feat16 = features[-1].reshape(b, t_frames, s16, s16,
@@ -560,10 +585,7 @@ class SAM2Video(nn.Module):
             s4, s8 = self.image_size // 4, self.image_size // 8
             hr4 = features[0].reshape(b, t_frames, s4, s4, self.fpn_planes)
             hr8 = features[1].reshape(b, t_frames, s8, s8, self.fpn_planes)
-        return self.track_from_features(
-            feat16, pos16, hr4, hr8, frame0_prompts, gt_masks=gt_masks,
-            is_cond_frame=is_cond_frame, is_iter_frame=is_iter_frame,
-            rng=rng, point_iters=point_iters)
+        return feat16, pos16, hr4, hr8
 
     def track_from_features(self, feat16, pos16, hr4, hr8, frame0_prompts,
                             gt_masks=None, is_cond_frame=None,

@@ -19,7 +19,10 @@ Run with JAX_COMPILATION_CACHE_DIR unset (a warm cache hides the cost).
 """
 
 import argparse
+import sys
 import time
+
+sys.path.insert(0, "/root/repo")
 
 
 def _measure(name, fn, *args):
@@ -87,12 +90,19 @@ def build(frames=4, bs=1, point_iters=2, use_scan=True, use_flash=True):
         "is_cond_frame": jnp.zeros((b, t)).at[:, 0].set(1.0),
         "is_iter_frame": jnp.zeros((b, t)).at[:, 1].set(1.0),
     }
-    variables = dict(model.init(
-        jax.random.PRNGKey(0), batch["image"],
-        {k: batch[k] for k in ("prompt_point", "prompt_box",
-                               "prompt_box_valid", "prompt_mask",
-                               "prompt_mask_valid")},
-        is_cond_frame=batch["is_cond_frame"][0]))
+    # eval_shape'd init: a REAL init would execute (and therefore compile)
+    # the full T-frame graph before any part is measured — zero trees of
+    # the right shapes are enough for compile-time attribution
+    shapes = jax.eval_shape(
+        lambda rng: model.init(
+            rng, batch["image"],
+            {k: batch[k] for k in ("prompt_point", "prompt_box",
+                                   "prompt_box_valid", "prompt_mask",
+                                   "prompt_mask_valid")},
+            is_cond_frame=batch["is_cond_frame"][0]),
+        jax.random.PRNGKey(0))
+    variables = dict(jax.tree.map(
+        lambda s: jnp.zeros(s.shape, s.dtype), shapes))
     params = variables.pop("params")
     return model, loss_fn, params, variables, batch
 

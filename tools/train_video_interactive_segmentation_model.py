@@ -78,6 +78,76 @@ def build_loss_fn(model, config):
     return loss_fn
 
 
+def build_split_grad_fn(model, config):
+    """Three-stage SAM2 train gradients: encoder fwd | track+loss grads |
+    encoder VJP — numerically the fused `jax.value_and_grad(loss_fn)` (the
+    encoder backward recomputes the forward either way under full-block
+    remat), but compiled as three XLA programs. The fused T-frame graph
+    compiles superlinearly: at hiera-B+ bs1 T4 the parts compile in
+    ~6 min total vs ~30 min fused (tools/perf/sam2_compile_lab.py).
+
+    Returns grad_step(params, variables, batch, rng) -> (loss_dict,
+    grads). Requires the per-frame condition-recipe batch layout and a
+    model without mutable collections beyond constants (the hiera
+    configs)."""
+    import jax
+    import jax.numpy as jnp
+
+    criterion = config.train_criterion
+    compute_dtype = jnp.bfloat16 if getattr(config, "use_amp", True) \
+        else jnp.float32
+    point_iters = getattr(config, "decoder_point_iters", 0)
+
+    def _encode(params, variables, images):
+        return model.apply({"params": params, **variables}, images,
+                           method="encode_frames_batch")
+
+    def _track_loss(params, feats, variables, batch, rng):
+        feat16, pos16, hr4, hr8 = feats
+        prompts = {
+            k: batch[k].astype(jnp.float32)
+            for k in ("prompt_point", "prompt_box", "prompt_box_valid",
+                      "prompt_mask", "prompt_mask_valid")
+        }
+        preds = model.apply(
+            {"params": params, **variables}, feat16, pos16, hr4, hr8,
+            prompts, gt_masks=batch["mask"].astype(jnp.float32),
+            is_cond_frame=batch["is_cond_frame"].max(axis=0),
+            is_iter_frame=batch["is_iter_frame"].max(axis=0),
+            rng=jax.random.fold_in(rng, 3), point_iters=point_iters,
+            method="track_from_features")
+        loss_dict = criterion(preds, batch["mask"])
+        total = sum(loss_dict.values())
+        loss_dict = dict(loss_dict)
+        loss_dict["loss"] = total
+        return total, loss_dict
+
+    enc_fwd = jax.jit(_encode)
+    track_grad = jax.jit(jax.value_and_grad(_track_loss, argnums=(0, 1),
+                                            has_aux=True))
+
+    def _enc_vjp(params, variables, images, dfeats):
+        _, vjp = jax.vjp(lambda p: _encode(p, variables, images), params)
+        return vjp(dfeats)[0]
+
+    enc_bwd = jax.jit(_enc_vjp)
+
+    def grad_step(params, variables, batch, rng):
+        images = batch["image"].astype(compute_dtype)
+        feats = enc_fwd(params, variables, images)
+        (_, loss_dict), (g_track, dfeats) = track_grad(
+            params, feats, variables, batch, rng)
+        # hr* may be None: zero-cotangent for absent features
+        dfeats = tuple(
+            jnp.zeros_like(f) if d is None and f is not None else d
+            for d, f in zip(dfeats, feats))
+        g_enc = enc_bwd(params, variables, images, dfeats)
+        grads = jax.tree.map(jnp.add, g_track, g_enc)
+        return loss_dict, grads
+
+    return grad_step
+
+
 def init_fn(model, config, rng):
     import jax.numpy as jnp
 
