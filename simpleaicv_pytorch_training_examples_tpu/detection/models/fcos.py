@@ -47,7 +47,9 @@ class FCOS(nn.Module):
                                                 cnt_on_reg=True,
                                                 dtype=self.dtype,
                                                 name="clsregcnt_head")
-        self.scales = self.param("scales", nn.initializers.zeros, (5,))
+        # reference fcos.py:53 inits the per-level scales to 1.0 (the reg
+        # multiplier starts at e^1, not 1) — match it for training parity
+        self.scales = self.param("scales", nn.initializers.ones, (5,))
 
     def __call__(self, x, train: bool = False):
         feats = self.backbone(x, train=train, return_features=True)

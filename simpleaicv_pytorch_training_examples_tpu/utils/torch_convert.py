@@ -20,6 +20,7 @@ __all__ = ["convert_resnet_state_dict", "convert_vit_state_dict",
            "convert_dinov3_convnext_state_dict",
            "convert_sam_encoder_state_dict", "convert_sam_state_dict",
            "convert_sam2_encoder_state_dict", "convert_sam2_state_dict",
+           "convert_retinanet_state_dict", "convert_fcos_state_dict",
            "merge_converted"]
 
 
@@ -747,3 +748,71 @@ def convert_sam2_state_dict(sd):
         put_linear(f"{tl}.pwconv2", f"{fl}.pwconv2")
     put_conv(f"{me}.out_proj", f"{fe}.out_proj")
     return params, constants
+
+
+def convert_retinanet_state_dict(sd):
+    """Reference full-detector RetinaNet (detection/models/retinanet.py:27-91
+    naming: backbone.*, fpn.P{3,4,5}_{1,2}/P6/P7.1, cls_head.cls_head.{2i}/
+    cls_out, reg_head.reg_head.{2i}/reg_out) -> this framework's RetinaNet
+    flat (params, batch_stats) dotted dicts, so published reference
+    checkpoints can drive the pinned COCO AP protocol end-to-end."""
+    params, stats = {}, {}
+    backbone_sd = {k[len("backbone."):]: v for k, v in sd.items()
+                   if k.startswith("backbone.")}
+    b_params, b_stats = convert_resnet_state_dict(backbone_sd)
+    params.update({f"backbone.{k}": v for k, v in b_params.items()})
+    stats.update({f"backbone.{k}": v for k, v in b_stats.items()})
+
+    def put_conv(tname, fname):
+        params[f"{fname}.kernel"] = _conv_w(np.asarray(sd[f"{tname}.weight"]))
+        if f"{tname}.bias" in sd:
+            params[f"{fname}.bias"] = np.asarray(sd[f"{tname}.bias"])
+
+    for lvl in (3, 4, 5):
+        put_conv(f"fpn.P{lvl}_1", f"fpn.P{lvl}_1")
+        put_conv(f"fpn.P{lvl}_2", f"fpn.P{lvl}_2")
+    put_conv("fpn.P6", "fpn.P6")
+    put_conv("fpn.P7.1", "fpn.P7")  # Sequential(ReLU, Conv) -> index 1
+    for head in ("cls", "reg"):
+        for i in range(4):  # Sequential interleaves ReLU: conv at 2i
+            put_conv(f"{head}_head.{head}_head.{2 * i}",
+                     f"{head}_head.conv{i}")
+        put_conv(f"{head}_head.{head}_out", f"{head}_head.{head}_out")
+    return params, stats
+
+
+def convert_fcos_state_dict(sd):
+    """Reference FCOS (detection/models/fcos.py:27-90 naming: backbone.*,
+    fpn.* (use_p5=True), clsregcnt_head.{cls,reg}_head.{3i,3i+1} conv+GN
+    towers, cls_out/reg_out/center_out, scales) -> flat dicts for this
+    framework's FCOS."""
+    params, stats = {}, {}
+    backbone_sd = {k[len("backbone."):]: v for k, v in sd.items()
+                   if k.startswith("backbone.")}
+    b_params, b_stats = convert_resnet_state_dict(backbone_sd)
+    params.update({f"backbone.{k}": v for k, v in b_params.items()})
+    stats.update({f"backbone.{k}": v for k, v in b_stats.items()})
+
+    def put_conv(tname, fname):
+        params[f"{fname}.kernel"] = _conv_w(np.asarray(sd[f"{tname}.weight"]))
+        if f"{tname}.bias" in sd:
+            params[f"{fname}.bias"] = np.asarray(sd[f"{tname}.bias"])
+
+    for lvl in (3, 4, 5):
+        put_conv(f"fpn.P{lvl}_1", f"fpn.P{lvl}_1")
+        put_conv(f"fpn.P{lvl}_2", f"fpn.P{lvl}_2")
+    put_conv("fpn.P6", "fpn.P6")
+    put_conv("fpn.P7.1", "fpn.P7")
+    h = "clsregcnt_head"
+    for tower in ("cls", "reg"):
+        for i in range(4):  # conv at 3i, GroupNorm at 3i+1, ReLU at 3i+2
+            put_conv(f"{h}.{tower}_head.{3 * i}", f"{h}.{tower}_conv{i}")
+            params[f"{h}.{tower}_gn{i}.scale"] = np.asarray(
+                sd[f"{h}.{tower}_head.{3 * i + 1}.weight"])
+            params[f"{h}.{tower}_gn{i}.bias"] = np.asarray(
+                sd[f"{h}.{tower}_head.{3 * i + 1}.bias"])
+    put_conv(f"{h}.cls_out", f"{h}.cls_out")
+    put_conv(f"{h}.reg_out", f"{h}.reg_out")
+    put_conv(f"{h}.center_out", f"{h}.center_out")
+    params["scales"] = np.asarray(sd["scales"])
+    return params, stats

@@ -650,3 +650,110 @@ def _flat_paths(tree, prefix=()):
             yield from _flat_paths(sub, prefix + (k,))
     else:
         yield prefix
+
+
+def test_retinanet_full_detector_parity_with_reference():
+    """VERDICT r3 next #8: a published reference RetinaNet checkpoint can
+    drive this framework's pinned COCO AP protocol — same weights -> same
+    sigmoided cls probs and reg deltas at every FPN level."""
+    import torch
+    import types
+    for name in ("torchvision", "torchvision.transforms",
+                 "torchvision.ops"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    sys.modules["torchvision"].transforms = \
+        sys.modules["torchvision.transforms"]
+    sys.path.insert(0, REFERENCE)
+    from SimpleAICV.detection.models.retinanet import resnet18_retinanet as \
+        torch_retinanet
+
+    torch.manual_seed(0)
+    tmodel = torch_retinanet(num_classes=20)
+    tmodel.eval()
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+
+    import jax
+    import jax.numpy as jnp
+    from simpleaicv_pytorch_training_examples_tpu.detection.models.retinanet import (
+        resnet18_retinanet)
+    from simpleaicv_pytorch_training_examples_tpu.engine import init_model
+    from simpleaicv_pytorch_training_examples_tpu.utils.torch_convert import (
+        convert_retinanet_state_dict, merge_converted)
+
+    model = resnet18_retinanet(num_classes=20)
+    params, variables = init_model(model, (1, 256, 256, 3),
+                                   jax.random.PRNGKey(0))
+    p_flat, s_flat = convert_retinanet_state_dict(sd)
+    tree_paths = {"/".join(p) for p in _flat_paths(params)}
+    missing = [n for n in p_flat if n.replace(".", "/") not in tree_paths]
+    assert not missing, f"unmapped converter keys: {missing[:8]}"
+    params, batch_stats = merge_converted(params, variables["batch_stats"],
+                                          p_flat, s_flat)
+
+    rs = np.random.RandomState(0)
+    x = rs.rand(1, 256, 256, 3).astype(np.float32)
+    with torch.no_grad():
+        t_cls, t_reg = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    j_cls, j_reg = model.apply({"params": params,
+                                "batch_stats": batch_stats},
+                               jnp.asarray(x), train=False)
+    assert len(t_cls) == len(j_cls) == 5
+    for t_o, j_o in zip(t_cls, j_cls):  # [B,H,W,A,C] both sides
+        np.testing.assert_allclose(t_o.numpy(), np.asarray(j_o),
+                                   atol=2e-4, rtol=1e-3)
+    for t_o, j_o in zip(t_reg, j_reg):
+        np.testing.assert_allclose(t_o.numpy(), np.asarray(j_o),
+                                   atol=2e-3, rtol=1e-2)
+
+
+def test_fcos_full_detector_parity_with_reference():
+    import torch
+    import types
+    for name in ("torchvision", "torchvision.transforms",
+                 "torchvision.ops"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    sys.modules["torchvision"].transforms = \
+        sys.modules["torchvision.transforms"]
+    sys.path.insert(0, REFERENCE)
+    from SimpleAICV.detection.models.fcos import resnet18_fcos as torch_fcos
+
+    torch.manual_seed(0)
+    tmodel = torch_fcos(num_classes=20)
+    tmodel.eval()
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+
+    import jax
+    import jax.numpy as jnp
+    from simpleaicv_pytorch_training_examples_tpu.detection.models.fcos import (
+        resnet18_fcos)
+    from simpleaicv_pytorch_training_examples_tpu.engine import init_model
+    from simpleaicv_pytorch_training_examples_tpu.utils.torch_convert import (
+        convert_fcos_state_dict, merge_converted)
+
+    model = resnet18_fcos(num_classes=20)
+    params, variables = init_model(model, (1, 256, 256, 3),
+                                   jax.random.PRNGKey(0))
+    p_flat, s_flat = convert_fcos_state_dict(sd)
+    tree_paths = {"/".join(p) for p in _flat_paths(params)}
+    missing = [n for n in p_flat if n.replace(".", "/") not in tree_paths]
+    assert not missing, f"unmapped converter keys: {missing[:8]}"
+    params, batch_stats = merge_converted(params, variables["batch_stats"],
+                                          p_flat, s_flat)
+
+    rs = np.random.RandomState(0)
+    x = rs.rand(1, 256, 256, 3).astype(np.float32)
+    with torch.no_grad():
+        t_cls, t_reg, t_cnt = tmodel(torch.from_numpy(
+            x.transpose(0, 3, 1, 2)))
+    j_cls, j_reg, j_cnt = model.apply({"params": params,
+                                       "batch_stats": batch_stats},
+                                      jnp.asarray(x), train=False)
+    for t_o, j_o in zip(t_cls, j_cls):  # [B,H,W,C] both sides
+        np.testing.assert_allclose(t_o.numpy(), np.asarray(j_o),
+                                   atol=2e-4, rtol=1e-3)
+    for t_o, j_o in zip(t_reg, j_reg):
+        np.testing.assert_allclose(t_o.numpy(), np.asarray(j_o),
+                                   atol=2e-2, rtol=1e-2)
+    for t_o, j_o in zip(t_cnt, j_cnt):
+        np.testing.assert_allclose(t_o.numpy(), np.asarray(j_o),
+                                   atol=2e-4, rtol=1e-3)

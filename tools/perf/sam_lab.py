@@ -73,13 +73,81 @@ def blocks(bs=2, use_flash=True):
                    flops=fl * bs)
 
 
+def blocks_fine(bs=2):
+    """Windowed-block component attribution: where do the ~7 ms/block go?
+    Times the pieces of one windowed SAMBlock fwd at the production
+    [bs, 64, 64, 768] stream: full block / attention module only /
+    attention with rel-pos disabled / qkv+proj+mlp dense-only / the
+    window partition+unpartition round trip by itself."""
+    from simpleaicv_pytorch_training_examples_tpu.interactive_segmentation.models.segment_anything.image_encoder import (
+        SAMAttention, SAMBlock, window_partition, window_unpartition)
+
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.rand(bs, 64, 64, 768), jnp.bfloat16)
+    xw = jnp.asarray(rs.rand(bs * 25, 14, 14, 768), jnp.bfloat16)
+
+    m = SAMBlock(head_nums=12, input_size=(64, 64), window_size=14,
+                 dtype=jnp.bfloat16)
+    v = m.init(jax.random.PRNGKey(0), x)
+    time_apply(jax.jit(lambda v, x: m.apply(v, x)), (v, x),
+               label=f"windowed block fwd bs{bs}")
+
+    a = SAMAttention(head_nums=12, input_size=(14, 14), dtype=jnp.bfloat16)
+    va = a.init(jax.random.PRNGKey(0), xw)
+    time_apply(jax.jit(lambda v, x: a.apply(v, x)), (va, xw),
+               label=f"attn module (rel-pos) [{bs * 25}w x 196] bs{bs}")
+
+    def plain_attn(v, x):
+        # same qkv/proj denses, rel-pos einsums and bias dropped: the
+        # delta vs the module is the full rel-pos bill (table gather +
+        # fp32 rq einsums + biased kernel vs plain softmax)
+        p = v["params"]
+        bw, h, w, c = x.shape
+        n, nh, hd = h * w, 12, c // 12
+        qkv = (x.reshape(bw, n, c) @ p["qkv"]["kernel"]
+               + p["qkv"]["bias"]).reshape(bw, n, 3, nh, hd)
+        q, k, vv = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (hd ** -0.5)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(x.dtype)
+        o = jnp.einsum("bhqk,bhkd->bhqd", probs, vv)
+        o = o.transpose(0, 2, 1, 3).reshape(bw, h, w, c)
+        return o @ p["proj"]["kernel"] + p["proj"]["bias"]
+
+    time_apply(jax.jit(plain_attn), (va, xw),
+               label=f"attn plain-xla (no rel) [{bs * 25}w x 196] bs{bs}")
+
+    def roundtrip(x):
+        w, pad_hw = window_partition(x, 14)
+        return window_unpartition(w * 1.000001, 14, pad_hw, (64, 64))
+    time_apply(jax.jit(roundtrip), (x,), label=f"win partition rt bs{bs}")
+
+    def dense_only(v, x):
+        b, h, w_, c = x.shape
+        p = v["params"]
+        y = x.reshape(b, h * w_, c)
+        qkv = y @ p["attn"]["qkv"]["kernel"]
+        o = (qkv[..., :c] @ p["attn"]["proj"]["kernel"]
+             + p["attn"]["proj"]["bias"])
+        h1 = jax.nn.gelu(o @ p["lin1"]["kernel"] + p["lin1"]["bias"],
+                         approximate=False)
+        return h1 @ p["lin2"]["kernel"] + p["lin2"]["bias"]
+
+    time_apply(jax.jit(dense_only), (v, x),
+               label=f"dense-only (qkv+proj+mlp) bs{bs}")
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--bs", type=int, default=2)
     p.add_argument("--policy", default=None)
+    p.add_argument("--no-remat", action="store_true",
+                   help="disable block checkpointing (round-4 headline "
+                        "config: flash kernels freed the HBM remat bought)")
     p.add_argument("--xla", action="store_true")
     p.add_argument("--blocks", action="store_true",
                    help="per-block-type forward breakdown only")
+    p.add_argument("--blocks-fine", action="store_true",
+                   help="windowed-block component attribution")
     args = p.parse_args()
     bs = args.bs
 
@@ -87,8 +155,12 @@ def main():
     if args.blocks:
         blocks(bs=bs, use_flash=not args.xla)
         return
+    if args.blocks_fine:
+        blocks_fine(bs=bs)
+        return
     model, criterion, variables, images, gt, prompts = build(
-        bs=bs, use_flash=not args.xla, remat_policy=args.policy)
+        bs=bs, use_flash=not args.xla, remat_policy=args.policy,
+        remat=not args.no_remat)
 
     # 1. encoder fwd only
     enc_fwd = jax.jit(lambda v, x: model.apply(
