@@ -225,6 +225,41 @@ def bench_sam_train_detail():
     return ips, mfu, ms_xla / ms_flash
 
 
+# SAM2 hiera-B+ video fwd FLOPs for one bs1 T4 1024^2 train step
+# (condition-frame + 2-point-iteration recipe). Pinned from XLA HLO cost
+# analysis of the unoptimized fwd lowering with flash OFF / remat OFF /
+# scan UNROLLED so every matmul is visible and nothing is double-counted
+# — see tools/perf/sam2_flops_probe.py (already 2-flops-per-MAC, the
+# same convention as the chip peak).
+SAM2_BPLUS_T4_STEP_FWD_FLOPS = 4.6176e12
+
+
+def bench_sam2_train_detail():
+    """SAM2 hiera-B+ video full train step at the production shape
+    (VERDICT r3 next #1): bs1, T=4 frames, 1024^2, condition-frame +
+    2-point-iteration recipe, nn.scan tracked frames, flash kernels on.
+    Returns (frames_per_s, mfu, flash_speedup, cold_compile_s).
+
+    - ips/mfu/compile_s come from the full flash train step (the shipped
+      14.1 stage-2/3 config path); compile_s is trace+lower+XLA-compile+
+      first execution, the tracked time-to-first-step (VERDICT r3 #3).
+    - flash_speedup is the encoder fwd+bwd ratio (XLA attention vs the
+      fused kernels) at the same 4-frame shape: the encoder is ~76% of
+      the step, and a full-step XLA variant would double the dominant
+      cold-compile cost for a number the encoder probe already isolates.
+    """
+    from bench_sam2_train import bench_encoder, bench_sam2_train
+
+    ms_flash, compile_s = bench_sam2_train(use_flash=True, frames=4, bs=1)
+    enc_flash = bench_encoder(frames=4, bs=1, use_flash=True)
+    enc_xla = bench_encoder(frames=4, bs=1, use_flash=False)
+    fps = 4 / (ms_flash / 1000.0)
+    mfu = (3.0 * SAM2_BPLUS_T4_STEP_FWD_FLOPS / (ms_flash / 1000.0)
+           / _chip_peak_bf16_flops())
+    ratio = enc_xla["enc fwd+bwd"] / enc_flash["enc fwd+bwd"]
+    return fps, mfu, ratio, compile_s
+
+
 def _chip_peak_bf16_flops():
     """Best-effort peak bf16 FLOP/s for the local chip generation."""
     import jax
@@ -342,6 +377,10 @@ def main():
         sam_ips, sam_mfu, sam_flash_ratio = bench_sam_train_detail()
     except Exception:
         sam_ips, sam_mfu, sam_flash_ratio = 0.0, 0.0, 0.0
+    try:
+        s2_fps, s2_mfu, s2_ratio, s2_compile = bench_sam2_train_detail()
+    except Exception:
+        s2_fps, s2_mfu, s2_ratio, s2_compile = 0.0, 0.0, 0.0, 0.0
     vit_ratio = vit_ips / REFERENCE_VIT_B_EVAL_IPS
     det_ratio = det_ips / REFERENCE_RETINANET_INFER_IPS
     vs = (vit_ratio * det_ratio) ** 0.5
@@ -362,7 +401,11 @@ def main():
                    "retinanet_int8_cls_corr": round(ri8_corr, 4),
                    "sam_b_train_ips": round(sam_ips, 2),
                    "sam_b_train_mfu": round(sam_mfu, 4),
-                   "sam_b_train_flash_speedup": round(sam_flash_ratio, 2)},
+                   "sam_b_train_flash_speedup": round(sam_flash_ratio, 2),
+                   "sam2_train_ips": round(s2_fps, 2),
+                   "sam2_train_mfu": round(s2_mfu, 4),
+                   "sam2_flash_speedup": round(s2_ratio, 2),
+                   "sam2_cold_compile_s": round(s2_compile, 1)},
     }))
 
 

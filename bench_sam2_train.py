@@ -72,14 +72,16 @@ def bench_sam2_train(use_flash=True, frames=4, bs=1, use_remat=True):
             params, variables, batch, jax.random.PRNGKey(1))
         return loss, grads
 
+    tc = time.perf_counter()
     loss, grads = step(params, variables, batch)
     float(loss)
+    compile_s = time.perf_counter() - tc  # trace+lower+compile+1st step
     iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
         loss, grads = step(params, variables, batch)
     float(loss)
-    return (time.perf_counter() - t0) / iters * 1000
+    return (time.perf_counter() - t0) / iters * 1000, compile_s
 
 
 def bench_encoder(frames=4, bs=1, use_flash=True):
@@ -113,6 +115,7 @@ def bench_encoder(frames=4, bs=1, use_flash=True):
                        for o in jax.tree.leaves(out))
         return jax.value_and_grad(f)(v)
 
+    times = {}
     for label, fn in (("enc fwd", fwd), ("enc fwd+bwd", bwd)):
         out = fn(variables, x)
         float(jax.tree.leaves(out)[0].astype(jnp.float32).sum())
@@ -122,8 +125,10 @@ def bench_encoder(frames=4, bs=1, use_flash=True):
             out = fn(variables, x)
         float(jax.tree.leaves(out)[0].astype(jnp.float32).sum())
         dt = (time.perf_counter() - t0) / iters * 1000
+        times[label] = dt
         print(f"SAM2 {label} [{bs * frames} frames]: {dt:.1f} ms",
               flush=True)
+    return times
 
 
 def main():
@@ -140,12 +145,14 @@ def main():
         bench_encoder(frames=args.frames, bs=args.bs,
                       use_flash=not args.xla)
         return
-    ms = bench_sam2_train(use_flash=not args.xla, frames=args.frames,
-                          bs=args.bs, use_remat=not args.no_remat)
+    ms, compile_s = bench_sam2_train(use_flash=not args.xla,
+                                     frames=args.frames, bs=args.bs,
+                                     use_remat=not args.no_remat)
     fps = args.bs * args.frames / (ms / 1000.0)
     print(f"SAM2 hiera-B+ train bs{args.bs} T{args.frames} "
           f"[{'xla' if args.xla else 'flash'}]: {ms:.1f} ms/step "
-          f"= {fps:.2f} frames/s", flush=True)
+          f"= {fps:.2f} frames/s (compile+1st step {compile_s:.0f} s)",
+          flush=True)
 
 
 if __name__ == "__main__":
