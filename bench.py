@@ -260,6 +260,24 @@ def bench_sam2_train_detail():
     return fps, mfu, ratio, compile_s
 
 
+def bench_loader_detail():
+    """Host input pipeline (VERDICT r3 next #4): img/s through dataset +
+    train transforms + collater + threaded prefetch over a synthetic
+    on-disk JPEG shard (tools/perf/loader_bench.py; pure host, no TPU).
+    Returns (ips, ips_per_core). This sandbox exposes ONE core while
+    production v5e hosts expose 100+ and the per-sample work releases
+    the GIL, so ips_per_core is the portable number: ViT-B bs256 train
+    demand (~1,230 img/s) needs ~10 cores at the measured rate."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tools.perf.loader_bench import bench_loader, build_shard
+
+    root = build_shard(n=1024, classes=16)
+    ips = bench_loader(root, batch_size=128, batches=4)
+    return ips, ips / (os.cpu_count() or 1)
+
+
 def _chip_peak_bf16_flops():
     """Best-effort peak bf16 FLOP/s for the local chip generation."""
     import jax
@@ -381,6 +399,10 @@ def main():
         s2_fps, s2_mfu, s2_ratio, s2_compile = bench_sam2_train_detail()
     except Exception:
         s2_fps, s2_mfu, s2_ratio, s2_compile = 0.0, 0.0, 0.0, 0.0
+    try:
+        ld_ips, ld_core = bench_loader_detail()
+    except Exception:
+        ld_ips, ld_core = 0.0, 0.0
     vit_ratio = vit_ips / REFERENCE_VIT_B_EVAL_IPS
     det_ratio = det_ips / REFERENCE_RETINANET_INFER_IPS
     vs = (vit_ratio * det_ratio) ** 0.5
@@ -405,7 +427,9 @@ def main():
                    "sam2_train_ips": round(s2_fps, 2),
                    "sam2_train_mfu": round(s2_mfu, 4),
                    "sam2_flash_speedup": round(s2_ratio, 2),
-                   "sam2_cold_compile_s": round(s2_compile, 1)},
+                   "sam2_cold_compile_s": round(s2_compile, 1),
+                   "loader_ips": round(ld_ips, 1),
+                   "loader_ips_per_core": round(ld_core, 1)},
     }))
 
 

@@ -10,10 +10,14 @@ streams K/V blocks through VMEM with an online-softmax state so the score
 matrix never exists in HBM — O(N) memory, MXU matmuls in the input dtype
 (bf16 at full rate) with fp32 accumulation.
 
-Backward is fused too (flash-attention backward, two pallas kernels):
-the forward saves only the per-row logsumexp; dk/dv and dq are computed
-by streaming the same blocks again. The per-key bias gets a zero gradient
-(it encodes ring-buffer slot validity — constants).
+Backward is fused too — and into ONE pallas kernel (round 4): the
+forward saves only the per-row logsumexp; the backward streams the same
+blocks once, recomputing scores/probs a single time per (q, k) block
+pair and emitting dq (VMEM-accumulated) plus per-q-block dk/dv partials
+that XLA sums outside. The split dkdv/dq kernel pair this replaces ran
+the whole score pipeline twice; these kernels are VPU-bound (softmax
+sweeps), so the recompute was the dominant cost. The per-key bias gets
+a zero gradient (it encodes ring-buffer slot validity — constants).
 
 Measured on v5e, bf16:
 - SAM encoder shape (B8 H12 N4096 D64): fwd 10.7 ms vs XLA 8.7 (XLA keeps
@@ -149,17 +153,26 @@ def _flash_forward(q, k, v, bias, block_q, block_k, sm_scale):
 # --------------------------------------------------------------- backward
 
 
-def _bwd_dkdv_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
-                     b_ref, dk_ref, dv_ref, dk_scr, dv_scr,
-                     *, n_q_steps, sm_scale):
-    """Grid = (batch*head, k_block, q_step), q innermost: accumulate
-    dK/dV for one K/V block while streaming q/dO/lse/delta blocks."""
-    qstep = pl.program_id(2)
+def _bwd_fused_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
+                      b_ref, dq_ref, dkp_ref, dvp_ref, dq_scr,
+                      *, n_k_steps, sm_scale):
+    """SINGLE fused backward pass, grid = (batch*head, q_block, k_step)
+    with k innermost: the scores/probs are recomputed ONCE per (q, k)
+    block pair and feed dV, dK and dQ together (the split dkdv/dq kernel
+    pair recomputed them twice — one extra full exp/softmax sweep plus
+    qk/dp dots, and the kernel is VPU-bound at the SAM shapes, so the
+    recompute was the bill). dQ accumulates across k steps in VMEM
+    scratch; dK/dV contributions can't (k is inner, their blocks change
+    every step), so each (q_block, k_step) writes its partial into an
+    EXPANDED output [g, n_qb, n_k, d] and XLA sums the n_qb partials
+    outside — one cheap fused reduction in exchange for not re-running
+    the whole score pipeline. sm_scale moves off the [bq, bk] ds tensor
+    onto the [*, d] results (64x fewer elements, exact same algebra)."""
+    kstep = pl.program_id(2)
 
-    @pl.when(qstep == 0)
+    @pl.when(kstep == 0)
     def _init():
-        dk_scr[...] = jnp.zeros_like(dk_scr)
-        dv_scr[...] = jnp.zeros_like(dv_scr)
+        dq_scr[...] = jnp.zeros_like(dq_scr)
 
     q = q_ref[...]          # [block_q, d]
     do = do_ref[...]        # [block_q, d]
@@ -168,97 +181,42 @@ def _bwd_dkdv_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
     k = k_ref[...]          # [block_k, d]
     v = v_ref[...]
 
-    # s^T : [block_k, block_q]
-    st = jnp.dot(k, q.T, preferred_element_type=jnp.float32) * sm_scale
-    st = st + b_ref[0].astype(jnp.float32)[:, None]
-    pt = jnp.exp(st - lse[None, :])
-    dv_scr[...] += jnp.dot(pt.astype(do.dtype), do,
-                           preferred_element_type=jnp.float32)
-    dpt = jnp.dot(v, do.T, preferred_element_type=jnp.float32)
-    dst = pt * (dpt - delta[None, :]) * sm_scale
-    dk_scr[...] += jnp.dot(dst.astype(q.dtype), q,
-                           preferred_element_type=jnp.float32)
-
-    @pl.when(qstep == n_q_steps - 1)
-    def _finalize():
-        dk_ref[...] = dk_scr[...].astype(dk_ref.dtype)
-        dv_ref[...] = dv_scr[...].astype(dv_ref.dtype)
-
-
-def _bwd_dq_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
-                   b_ref, dq_ref, dq_scr, *, n_k_steps, sm_scale):
-    """Grid = (batch*head, q_block, k_step), k innermost: accumulate dQ
-    for one Q block while streaming k/v blocks."""
-    kstep = pl.program_id(2)
-
-    @pl.when(kstep == 0)
-    def _init():
-        dq_scr[...] = jnp.zeros_like(dq_scr)
-
-    q = q_ref[...]
-    do = do_ref[...]
-    lse = lse_ref[0]
-    delta = delta_ref[0]
-    k = k_ref[...]
-    v = v_ref[...]
-
     s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * sm_scale
     s = s + b_ref[0].astype(jnp.float32)[None, :]
-    p = jnp.exp(s - lse[:, None])
-    dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
-    ds = p * (dp - delta[:, None]) * sm_scale
-    dq_scr[...] += jnp.dot(ds.astype(k.dtype), k,
-                           preferred_element_type=jnp.float32)
+    p = jnp.exp(s - lse[:, None])          # [block_q, block_k]
+    dvp_ref[0] = jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dvp_ref.dtype)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds0 = (p * (dp - delta[:, None])).astype(q.dtype)  # unscaled ds
+    dkp_ref[0] = (jax.lax.dot_general(
+        ds0, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * sm_scale).astype(
+            dkp_ref.dtype)
+    dq_scr[...] += jax.lax.dot_general(
+        ds0, k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
     @pl.when(kstep == n_k_steps - 1)
     def _finalize():
-        dq_ref[...] = dq_scr[...].astype(dq_ref.dtype)
+        dq_ref[...] = (dq_scr[...] * sm_scale).astype(dq_ref.dtype)
 
 
 def _flash_backward(q, k, v, bias, out, lse, g_out, block_q, block_k,
                     sm_scale):
     g, n_q, d = q.shape
     n_k = k.shape[1]
+    n_qb = n_q // block_q
     # delta = rowsum(dO * O): tiny elementwise pass, XLA fuses it
     delta = jnp.sum(g_out.astype(jnp.float32) * out.astype(jnp.float32),
                     axis=-1)[:, None, :]  # [G, 1, n_q]
 
-    dkdv = functools.partial(_bwd_dkdv_kernel,
-                             n_q_steps=n_q // block_q, sm_scale=sm_scale)
-    dk, dv = pl.pallas_call(
-        dkdv,
-        grid=(g, n_k // block_k, n_q // block_q),
-        in_specs=[
-            pl.BlockSpec((None, block_q, d), lambda i, j, s: (i, s, 0)),
-            pl.BlockSpec((None, block_q, d), lambda i, j, s: (i, s, 0)),
-            pl.BlockSpec((None, 1, block_q), lambda i, j, s: (i, 0, s)),
-            pl.BlockSpec((None, 1, block_q), lambda i, j, s: (i, 0, s)),
-            pl.BlockSpec((None, block_k, d), lambda i, j, s: (i, j, 0)),
-            pl.BlockSpec((None, block_k, d), lambda i, j, s: (i, j, 0)),
-            pl.BlockSpec((None, 1, block_k), lambda i, j, s: (i, 0, j)),
-        ],
-        out_specs=[
-            pl.BlockSpec((None, block_k, d), lambda i, j, s: (i, j, 0)),
-            pl.BlockSpec((None, block_k, d), lambda i, j, s: (i, j, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((g, n_k, d), k.dtype),
-            jax.ShapeDtypeStruct((g, n_k, d), v.dtype),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((block_k, d), jnp.float32),
-            pltpu.VMEM((block_k, d), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-            vmem_limit_bytes=100 * 1024 * 1024),
-    )(q, g_out, lse, delta, k, v, bias)
-
-    dqk = functools.partial(_bwd_dq_kernel,
-                            n_k_steps=n_k // block_k, sm_scale=sm_scale)
-    dq = pl.pallas_call(
-        dqk,
-        grid=(g, n_q // block_q, n_k // block_k),
+    kernel = functools.partial(_bwd_fused_kernel,
+                               n_k_steps=n_k // block_k, sm_scale=sm_scale)
+    dq, dkp, dvp = pl.pallas_call(
+        kernel,
+        grid=(g, n_qb, n_k // block_k),
         in_specs=[
             pl.BlockSpec((None, block_q, d), lambda i, j, s: (i, j, 0)),
             pl.BlockSpec((None, block_q, d), lambda i, j, s: (i, j, 0)),
@@ -268,14 +226,27 @@ def _flash_backward(q, k, v, bias, out, lse, g_out, block_q, block_k,
             pl.BlockSpec((None, block_k, d), lambda i, j, s: (i, s, 0)),
             pl.BlockSpec((None, 1, block_k), lambda i, j, s: (i, 0, s)),
         ],
-        out_specs=pl.BlockSpec((None, block_q, d),
-                               lambda i, j, s: (i, j, 0)),
-        out_shape=jax.ShapeDtypeStruct((g, n_q, d), q.dtype),
+        out_specs=[
+            pl.BlockSpec((None, block_q, d), lambda i, j, s: (i, j, 0)),
+            pl.BlockSpec((None, 1, block_k, d),
+                         lambda i, j, s: (i, j, s, 0)),
+            pl.BlockSpec((None, 1, block_k, d),
+                         lambda i, j, s: (i, j, s, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((g, n_q, d), q.dtype),
+            jax.ShapeDtypeStruct((g, n_qb, n_k, d), k.dtype),
+            jax.ShapeDtypeStruct((g, n_qb, n_k, d), v.dtype),
+        ],
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
     )(q, g_out, lse, delta, k, v, bias)
+    if n_qb == 1:
+        return dq, dkp[:, 0], dvp[:, 0]
+    dk = jnp.sum(dkp.astype(jnp.float32), axis=1).astype(k.dtype)
+    dv = jnp.sum(dvp.astype(jnp.float32), axis=1).astype(v.dtype)
     return dq, dk, dv
 
 
@@ -398,32 +369,40 @@ def flash_attention(q, k, v, bias=None,
 # MXU — the [4096, 4096] bias never materializes.
 
 
-def _rel_onehots(offset, block_k, kh_size, kw_size):
-    """One-hot selectors for a k block: kh_oh [KH, bk], kw_oh [KW, bk]."""
+def _rel_onehot_comb(offset, block_k, kh_size, kw_size):
+    """COMBINED one-hot selector [KH+KW, bk] for a k block: row i < KH
+    is the kh_j == i indicator, row KH+i the kw_j == i indicator. With
+    rel = concat(rel_h, rel_w) on the lane axis, ONE fp32 dot
+    rel @ oh yields rel_h[., kh(j)] + rel_w[., kw(j)] — exact (each
+    output column has exactly two unit entries, fp32 add) while halving
+    the rel MXU dots and, more importantly for this VPU-bound kernel,
+    removing one full [bq, bk] bias-add sweep per score computation."""
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1) + offset
     kh_j = cols // kw_size  # [1, bk]
     kw_j = cols % kw_size
-    kh_i = jax.lax.broadcasted_iota(jnp.int32, (kh_size, 1), 0)
-    kw_i = jax.lax.broadcasted_iota(jnp.int32, (kw_size, 1), 0)
-    return ((kh_i == kh_j).astype(jnp.float32),
-            (kw_i == kw_j).astype(jnp.float32))
+    rows = jax.lax.broadcasted_iota(jnp.int32,
+                                    (kh_size + kw_size, 1), 0)
+    # sum of two masked indicators (a boolean select here lowers to an
+    # i8->i1 truncation Mosaic rejects)
+    hit_h = ((rows < kh_size) & (rows == kh_j)).astype(jnp.float32)
+    hit_w = ((rows >= kh_size) & (rows - kh_size == kw_j)).astype(
+        jnp.float32)
+    return hit_h + hit_w
 
 
-def _rel_score_block(q, k, rh, rw, offset, sm_scale, kh_size, kw_size):
-    """[bq, bk] scores with decomposed rel-pos terms.
+def _rel_score_block(q, k, rel, offset, sm_scale, kh_size, kw_size):
+    """[bq, bk] scores with decomposed rel-pos terms (rel = [rh | rw]).
 
-    The one-hot dots stay fp32 (exact): a bf16 A/B at the SAM-B global
+    The one-hot dot stays fp32 (exact): a bf16 A/B at the SAM-B global
     shape measured 25.07 -> 24.44 ms fwd+bwd (~2.5%, round 4) — the
-    kernel is bound by the K=64 score/grad dots and the VPU softmax, not
-    by fp32 one-hot rate, so exactness costs almost nothing."""
+    kernel is bound by the VPU softmax sweeps, not fp32 one-hot rate,
+    so exactness costs almost nothing."""
     s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * sm_scale
-    kh_oh, kw_oh = _rel_onehots(offset, k.shape[0], kh_size, kw_size)
-    s = s + jnp.dot(rh, kh_oh, preferred_element_type=jnp.float32)
-    s = s + jnp.dot(rw, kw_oh, preferred_element_type=jnp.float32)
-    return s
+    oh = _rel_onehot_comb(offset, k.shape[0], kh_size, kw_size)
+    return s + jnp.dot(rel, oh, preferred_element_type=jnp.float32)
 
 
-def _fwd_rel_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, lse_ref,
+def _fwd_rel_kernel(q_ref, k_ref, v_ref, rel_ref, o_ref, lse_ref,
                     m_scr, l_scr, acc_scr, *, n_k_steps, sm_scale, block_k,
                     kh_size, kw_size):
     kstep = pl.program_id(2)
@@ -435,8 +414,7 @@ def _fwd_rel_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, lse_ref,
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
     s = _rel_score_block(q_ref[...], k_ref[...],
-                         rh_ref[...].astype(jnp.float32),
-                         rw_ref[...].astype(jnp.float32),
+                         rel_ref[...].astype(jnp.float32),
                          kstep * block_k, sm_scale, kh_size, kw_size)
     v = v_ref[...]
     m_prev = m_scr[...]
@@ -455,51 +433,22 @@ def _fwd_rel_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, lse_ref,
         lse_ref[0] = (m_scr[...] + jnp.log(l))[:, 0]
 
 
-def _bwd_rel_dkdv_kernel(q_ref, do_ref, lse_ref, delta_ref, rh_ref, rw_ref,
-                         k_ref, v_ref, dk_ref, dv_ref, dk_scr, dv_scr,
-                         *, n_q_steps, sm_scale, block_k, kh_size, kw_size):
-    qstep = pl.program_id(2)
-
-    @pl.when(qstep == 0)
-    def _init():
-        dk_scr[...] = jnp.zeros_like(dk_scr)
-        dv_scr[...] = jnp.zeros_like(dv_scr)
-
-    q = q_ref[...]
-    do = do_ref[...]
-    lse = lse_ref[0]
-    delta = delta_ref[0]
-    k = k_ref[...]
-    v = v_ref[...]
-    offset = pl.program_id(1) * block_k
-    s = _rel_score_block(q, k, rh_ref[...].astype(jnp.float32),
-                         rw_ref[...].astype(jnp.float32), offset, sm_scale,
-                         kh_size, kw_size)
-    p = jnp.exp(s - lse[:, None])  # [bq, bk]
-    dv_scr[...] += jnp.dot(p.T.astype(do.dtype), do,
-                           preferred_element_type=jnp.float32)
-    dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)  # [bq, bk]
-    ds = p * (dp - delta[:, None])
-    dk_scr[...] += jnp.dot((ds * sm_scale).T.astype(q.dtype), q,
-                           preferred_element_type=jnp.float32)
-
-    @pl.when(qstep == n_q_steps - 1)
-    def _finalize():
-        dk_ref[...] = dk_scr[...].astype(dk_ref.dtype)
-        dv_ref[...] = dv_scr[...].astype(dv_ref.dtype)
-
-
-def _bwd_rel_dq_kernel(q_ref, do_ref, lse_ref, delta_ref, rh_ref, rw_ref,
-                       k_ref, v_ref, dq_ref, drh_ref, drw_ref, dq_scr,
-                       drh_scr, drw_scr, *, n_k_steps, sm_scale, block_k,
-                       kh_size, kw_size):
+def _bwd_rel_fused_kernel(q_ref, do_ref, lse_ref, delta_ref, rel_ref,
+                          k_ref, v_ref, dq_ref, drel_ref, dkp_ref, dvp_ref,
+                          dq_scr, drel_scr, *, n_k_steps, sm_scale, block_k,
+                          kh_size, kw_size):
+    """Single fused rel-pos backward (see _bwd_fused_kernel for the
+    scheme): scores recomputed once per block pair; dq/drel accumulate
+    in scratch across the inner k steps; dk/dv partials go to expanded
+    [g, n_qb, n_k, d] outputs summed by XLA outside. drel is the
+    UNSCALED ds contracted with the combined one-hot (one dot replaces
+    the drh/drw pair)."""
     kstep = pl.program_id(2)
 
     @pl.when(kstep == 0)
     def _init():
         dq_scr[...] = jnp.zeros_like(dq_scr)
-        drh_scr[...] = jnp.zeros_like(drh_scr)
-        drw_scr[...] = jnp.zeros_like(drw_scr)
+        drel_scr[...] = jnp.zeros_like(drel_scr)
 
     q = q_ref[...]
     do = do_ref[...]
@@ -508,30 +457,39 @@ def _bwd_rel_dq_kernel(q_ref, do_ref, lse_ref, delta_ref, rh_ref, rw_ref,
     k = k_ref[...]
     v = v_ref[...]
     offset = kstep * block_k
-    s = _rel_score_block(q, k, rh_ref[...].astype(jnp.float32),
-                         rw_ref[...].astype(jnp.float32), offset, sm_scale,
-                         kh_size, kw_size)
-    p = jnp.exp(s - lse[:, None])
-    dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
-    ds = p * (dp - delta[:, None])  # [bq, bk]
-    dq_scr[...] += jnp.dot((ds * sm_scale).astype(k.dtype), k,
-                           preferred_element_type=jnp.float32)
-    kh_oh, kw_oh = _rel_onehots(offset, block_k, kh_size, kw_size)
-    drh_scr[...] += jnp.dot(ds, kh_oh.T,
-                            preferred_element_type=jnp.float32)
-    drw_scr[...] += jnp.dot(ds, kw_oh.T,
-                            preferred_element_type=jnp.float32)
+    oh = _rel_onehot_comb(offset, block_k, kh_size, kw_size)
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * sm_scale
+    s = s + jnp.dot(rel_ref[...].astype(jnp.float32), oh,
+                    preferred_element_type=jnp.float32)
+    p = jnp.exp(s - lse[:, None])  # [bq, bk]
+    dvp_ref[0] = jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dvp_ref.dtype)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds0f = p * (dp - delta[:, None])       # fp32, unscaled = d/dbias
+    drel_scr[...] += jax.lax.dot_general(
+        ds0f, oh, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    ds0 = ds0f.astype(q.dtype)
+    dkp_ref[0] = (jax.lax.dot_general(
+        ds0, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * sm_scale).astype(
+            dkp_ref.dtype)
+    dq_scr[...] += jax.lax.dot_general(
+        ds0, k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
     @pl.when(kstep == n_k_steps - 1)
     def _finalize():
-        dq_ref[...] = dq_scr[...].astype(dq_ref.dtype)
-        drh_ref[...] = drh_scr[...].astype(drh_ref.dtype)
-        drw_ref[...] = drw_scr[...].astype(drw_ref.dtype)
+        dq_ref[...] = (dq_scr[...] * sm_scale).astype(dq_ref.dtype)
+        drel_ref[...] = drel_scr[...].astype(drel_ref.dtype)
 
 
 def _flash_rel_forward(q, k, v, rh, rw, block_q, block_k, kh_size, kw_size):
     g, n_q, d = q.shape
     n_k = k.shape[1]
+    rel = jnp.concatenate([rh, rw], axis=-1)  # [g, n_q, KH+KW]
     kernel = functools.partial(_fwd_rel_kernel, n_k_steps=n_k // block_k,
                                sm_scale=d**-0.5, block_k=block_k,
                                kh_size=kh_size, kw_size=kw_size)
@@ -542,9 +500,7 @@ def _flash_rel_forward(q, k, v, rh, rw, block_q, block_k, kh_size, kw_size):
             pl.BlockSpec((None, block_q, d), lambda i, j, s: (i, j, 0)),
             pl.BlockSpec((None, block_k, d), lambda i, j, s: (i, s, 0)),
             pl.BlockSpec((None, block_k, d), lambda i, j, s: (i, s, 0)),
-            pl.BlockSpec((None, block_q, kh_size),
-                         lambda i, j, s: (i, j, 0)),
-            pl.BlockSpec((None, block_q, kw_size),
+            pl.BlockSpec((None, block_q, kh_size + kw_size),
                          lambda i, j, s: (i, j, 0)),
         ],
         out_specs=[
@@ -563,92 +519,65 @@ def _flash_rel_forward(q, k, v, rh, rw, block_q, block_k, kh_size, kw_size):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(q, k, v, rh, rw)
+    )(q, k, v, rel)
 
 
 def _flash_rel_backward(q, k, v, rh, rw, out, lse, g_out, block_q, block_k,
                         kh_size, kw_size):
     g, n_q, d = q.shape
     n_k = k.shape[1]
+    n_qb = n_q // block_q
+    rel = jnp.concatenate([rh, rw], axis=-1)  # [g, n_q, KH+KW]
     delta = jnp.sum(g_out.astype(jnp.float32) * out.astype(jnp.float32),
                     axis=-1)[:, None, :]
 
-    dkdv = functools.partial(_bwd_rel_dkdv_kernel,
-                             n_q_steps=n_q // block_q, sm_scale=d**-0.5,
-                             block_k=block_k, kh_size=kh_size,
-                             kw_size=kw_size)
-    dk, dv = pl.pallas_call(
-        dkdv,
-        grid=(g, n_k // block_k, n_q // block_q),
-        in_specs=[
-            pl.BlockSpec((None, block_q, d), lambda i, j, s: (i, s, 0)),
-            pl.BlockSpec((None, block_q, d), lambda i, j, s: (i, s, 0)),
-            pl.BlockSpec((None, 1, block_q), lambda i, j, s: (i, 0, s)),
-            pl.BlockSpec((None, 1, block_q), lambda i, j, s: (i, 0, s)),
-            pl.BlockSpec((None, block_q, kh_size),
-                         lambda i, j, s: (i, s, 0)),
-            pl.BlockSpec((None, block_q, kw_size),
-                         lambda i, j, s: (i, s, 0)),
-            pl.BlockSpec((None, block_k, d), lambda i, j, s: (i, j, 0)),
-            pl.BlockSpec((None, block_k, d), lambda i, j, s: (i, j, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((None, block_k, d), lambda i, j, s: (i, j, 0)),
-            pl.BlockSpec((None, block_k, d), lambda i, j, s: (i, j, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((g, n_k, d), k.dtype),
-            jax.ShapeDtypeStruct((g, n_k, d), v.dtype),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((block_k, d), jnp.float32),
-            pltpu.VMEM((block_k, d), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-            vmem_limit_bytes=100 * 1024 * 1024),
-    )(q, g_out, lse, delta, rh, rw, k, v)
-
-    dqk = functools.partial(_bwd_rel_dq_kernel, n_k_steps=n_k // block_k,
-                            sm_scale=d**-0.5, block_k=block_k,
-                            kh_size=kh_size, kw_size=kw_size)
-    dq, drh, drw = pl.pallas_call(
-        dqk,
-        grid=(g, n_q // block_q, n_k // block_k),
+    kernel = functools.partial(_bwd_rel_fused_kernel,
+                               n_k_steps=n_k // block_k, sm_scale=d**-0.5,
+                               block_k=block_k, kh_size=kh_size,
+                               kw_size=kw_size)
+    dq, drel, dkp, dvp = pl.pallas_call(
+        kernel,
+        grid=(g, n_qb, n_k // block_k),
         in_specs=[
             pl.BlockSpec((None, block_q, d), lambda i, j, s: (i, j, 0)),
             pl.BlockSpec((None, block_q, d), lambda i, j, s: (i, j, 0)),
             pl.BlockSpec((None, 1, block_q), lambda i, j, s: (i, 0, j)),
             pl.BlockSpec((None, 1, block_q), lambda i, j, s: (i, 0, j)),
-            pl.BlockSpec((None, block_q, kh_size),
-                         lambda i, j, s: (i, j, 0)),
-            pl.BlockSpec((None, block_q, kw_size),
+            pl.BlockSpec((None, block_q, kh_size + kw_size),
                          lambda i, j, s: (i, j, 0)),
             pl.BlockSpec((None, block_k, d), lambda i, j, s: (i, s, 0)),
             pl.BlockSpec((None, block_k, d), lambda i, j, s: (i, s, 0)),
         ],
         out_specs=[
             pl.BlockSpec((None, block_q, d), lambda i, j, s: (i, j, 0)),
-            pl.BlockSpec((None, block_q, kh_size),
+            pl.BlockSpec((None, block_q, kh_size + kw_size),
                          lambda i, j, s: (i, j, 0)),
-            pl.BlockSpec((None, block_q, kw_size),
-                         lambda i, j, s: (i, j, 0)),
+            pl.BlockSpec((None, 1, block_k, d),
+                         lambda i, j, s: (i, j, s, 0)),
+            pl.BlockSpec((None, 1, block_k, d),
+                         lambda i, j, s: (i, j, s, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((g, n_q, d), q.dtype),
-            jax.ShapeDtypeStruct((g, n_q, kh_size), jnp.float32),
-            jax.ShapeDtypeStruct((g, n_q, kw_size), jnp.float32),
+            jax.ShapeDtypeStruct((g, n_q, kh_size + kw_size),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((g, n_qb, n_k, d), k.dtype),
+            jax.ShapeDtypeStruct((g, n_qb, n_k, d), v.dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_q, d), jnp.float32),
-            pltpu.VMEM((block_q, kh_size), jnp.float32),
-            pltpu.VMEM((block_q, kw_size), jnp.float32),
+            pltpu.VMEM((block_q, kh_size + kw_size), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(q, g_out, lse, delta, rh, rw, k, v)
-    return dq, dk, dv, drh, drw
+    )(q, g_out, lse, delta, rel, k, v)
+    if n_qb == 1:
+        dk, dv = dkp[:, 0], dvp[:, 0]
+    else:
+        dk = jnp.sum(dkp.astype(jnp.float32), axis=1).astype(k.dtype)
+        dv = jnp.sum(dvp.astype(jnp.float32), axis=1).astype(v.dtype)
+    return dq, dk, dv, drel[..., :kh_size], drel[..., kh_size:]
 
 
 def _flash_rel_fwd_factory(params):

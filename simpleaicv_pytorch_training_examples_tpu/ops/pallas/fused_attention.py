@@ -801,23 +801,31 @@ def fused_attention_qkv(qkv, n_real=None, block_heads=16,
 # anywhere for this path.
 
 
-def _win_onehots(kh_size, kw_size, n):
+def _win_onehot_comb(kh_size, kw_size, n):
+    """Combined one-hot selector [KH+KW, n] (row i < KH: kh_j == i; row
+    KH+i: kw_j == i). With rel = [rel_h | rel_w] on the lane axis, ONE
+    dot expands bias[i, jh*KW+jw] = rel_h[i, jh] + rel_w[i, jw] exactly
+    (two unit entries per column, fp32 add) — halves the rel dots and
+    drops one full [n, n] bias-add sweep per score computation."""
     col = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
     kh_j = col // kw_size
     kw_j = col % kw_size
-    kh_i = jax.lax.broadcasted_iota(jnp.int32, (kh_size, 1), 0)
-    kw_i = jax.lax.broadcasted_iota(jnp.int32, (kw_size, 1), 0)
-    return ((kh_i == kh_j).astype(jnp.float32),
-            (kw_i == kw_j).astype(jnp.float32))
+    rows = jax.lax.broadcasted_iota(jnp.int32, (kh_size + kw_size, 1), 0)
+    # sum of two masked indicators (a boolean select here lowers to an
+    # i8->i1 truncation Mosaic rejects)
+    hit_h = ((rows < kh_size) & (rows == kh_j)).astype(jnp.float32)
+    hit_w = ((rows >= kh_size) & (rows - kh_size == kw_j)).astype(
+        jnp.float32)
+    return hit_h + hit_w
 
 
-def _fwd_kernel_relwin(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *, bg,
+def _fwd_kernel_relwin(q_ref, k_ref, v_ref, rel_ref, o_ref, *, bg,
                        n_real, n_pad, sm_scale, kh_size, kw_size):
     mask = None
     if n_real < n_pad:
         col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
         mask = jnp.where(col < n_real, 0.0, _NEG_INF).astype(jnp.float32)
-    kh_oh, kw_oh = _win_onehots(kh_size, kw_size, n_pad)
+    oh = _win_onehot_comb(kh_size, kw_size, n_pad)
     for g in range(bg):
         q = q_ref[g]
         k = k_ref[g]
@@ -826,10 +834,7 @@ def _fwd_kernel_relwin(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *, bg,
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * sm_scale
         s = s + jax.lax.dot_general(
-            rh_ref[g].astype(jnp.float32), kh_oh, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        s = s + jax.lax.dot_general(
-            rw_ref[g].astype(jnp.float32), kw_oh, (((1,), (0,)), ((), ())),
+            rel_ref[g].astype(jnp.float32), oh, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         if mask is not None:
             s = s + mask
@@ -842,14 +847,14 @@ def _fwd_kernel_relwin(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *, bg,
             preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
-def _bwd_kernel_relwin(q_ref, k_ref, v_ref, rh_ref, rw_ref, do_ref,
-                       dq_ref, dk_ref, dv_ref, drh_ref, drw_ref, *, bg,
+def _bwd_kernel_relwin(q_ref, k_ref, v_ref, rel_ref, do_ref,
+                       dq_ref, dk_ref, dv_ref, drel_ref, *, bg,
                        n_real, n_pad, sm_scale, kh_size, kw_size):
     mask = None
     if n_real < n_pad:
         col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
         mask = jnp.where(col < n_real, 0.0, _NEG_INF).astype(jnp.float32)
-    kh_oh, kw_oh = _win_onehots(kh_size, kw_size, n_pad)
+    oh = _win_onehot_comb(kh_size, kw_size, n_pad)
     for g in range(bg):
         q = q_ref[g]
         k = k_ref[g]
@@ -859,10 +864,7 @@ def _bwd_kernel_relwin(q_ref, k_ref, v_ref, rh_ref, rw_ref, do_ref,
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * sm_scale
         s = s + jax.lax.dot_general(
-            rh_ref[g].astype(jnp.float32), kh_oh, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        s = s + jax.lax.dot_general(
-            rw_ref[g].astype(jnp.float32), kw_oh, (((1,), (0,)), ((), ())),
+            rel_ref[g].astype(jnp.float32), oh, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         if mask is not None:
             s = s + mask
@@ -879,12 +881,9 @@ def _bwd_kernel_relwin(q_ref, k_ref, v_ref, rh_ref, rw_ref, do_ref,
             preferred_element_type=jnp.float32)
         row = jnp.sum(dp * p, axis=-1, keepdims=True)
         ds0 = p * (dp - row)                   # d/dbias (no sm_scale)
-        drh_ref[g] = jax.lax.dot_general(
-            ds0, kh_oh, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(drh_ref.dtype)
-        drw_ref[g] = jax.lax.dot_general(
-            ds0, kw_oh, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(drw_ref.dtype)
+        drel_ref[g] = jax.lax.dot_general(
+            ds0, oh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(drel_ref.dtype)
         ds = (ds0 * sm_scale).astype(q.dtype)
         dq_ref[g] = jax.lax.dot_general(
             ds, k, (((1,), (0,)), ((), ())),
@@ -897,81 +896,80 @@ def _bwd_kernel_relwin(q_ref, k_ref, v_ref, rh_ref, rw_ref, do_ref,
 def _relwin_fwd_factory(params):
     bg, n_real, kh_size, kw_size, interpret = params
 
-    def fn(q3, k3, v3, rh3, rw3):
+    def fn(q3, k3, v3, rel3):
         g_total, n_pad, d = q3.shape
         sm_scale = d ** -0.5
         grid = (g_total // bg,)
         spec = pl.BlockSpec((bg, n_pad, d), lambda i: (i, 0, 0))
-        rhspec = pl.BlockSpec((bg, n_pad, kh_size), lambda i: (i, 0, 0))
-        rwspec = pl.BlockSpec((bg, n_pad, kw_size), lambda i: (i, 0, 0))
+        relspec = pl.BlockSpec((bg, n_pad, kh_size + kw_size),
+                               lambda i: (i, 0, 0))
         return pl.pallas_call(
             functools.partial(_fwd_kernel_relwin, bg=bg, n_real=n_real,
                               n_pad=n_pad, sm_scale=sm_scale,
                               kh_size=kh_size, kw_size=kw_size),
             grid=grid,
-            in_specs=[spec, spec, spec, rhspec, rwspec],
+            in_specs=[spec, spec, spec, relspec],
             out_specs=spec,
             out_shape=jax.ShapeDtypeStruct(q3.shape, q3.dtype),
             interpret=interpret,
-        )(q3, k3, v3, rh3, rw3)
+        )(q3, k3, v3, rel3)
     return fn
 
 
 def _relwin_bwd_factory(params):
     bg, n_real, kh_size, kw_size, interpret = params
 
-    def fn(q3, k3, v3, rh3, rw3, do3):
+    def fn(q3, k3, v3, rel3, do3):
         g_total, n_pad, d = q3.shape
         sm_scale = d ** -0.5
         grid = (g_total // bg,)
         spec = pl.BlockSpec((bg, n_pad, d), lambda i: (i, 0, 0))
-        rhspec = pl.BlockSpec((bg, n_pad, kh_size), lambda i: (i, 0, 0))
-        rwspec = pl.BlockSpec((bg, n_pad, kw_size), lambda i: (i, 0, 0))
+        relspec = pl.BlockSpec((bg, n_pad, kh_size + kw_size),
+                               lambda i: (i, 0, 0))
         shape = jax.ShapeDtypeStruct(q3.shape, q3.dtype)
         return pl.pallas_call(
             functools.partial(_bwd_kernel_relwin, bg=bg, n_real=n_real,
                               n_pad=n_pad, sm_scale=sm_scale,
                               kh_size=kh_size, kw_size=kw_size),
             grid=grid,
-            in_specs=[spec, spec, spec, rhspec, rwspec, spec],
-            out_specs=[spec, spec, spec, rhspec, rwspec],
+            in_specs=[spec, spec, spec, relspec, spec],
+            out_specs=[spec, spec, spec, relspec],
             out_shape=[shape, shape, shape,
-                       jax.ShapeDtypeStruct(rh3.shape, rh3.dtype),
-                       jax.ShapeDtypeStruct(rw3.shape, rw3.dtype)],
+                       jax.ShapeDtypeStruct(rel3.shape, rel3.dtype)],
             interpret=interpret,
-        )(q3, k3, v3, rh3, rw3, do3)
+        )(q3, k3, v3, rel3, do3)
     return fn
 
 
-_RELWIN_FWD_RULE = "g n d, g n d, g n d, g n h, g n w -> g n d"
-_RELWIN_BWD_RULE = ("g n d, g n d, g n d, g n h, g n w, g n d"
-                    " -> g n d, g n d, g n d, g n h, g n w")
+_RELWIN_FWD_RULE = "g n d, g n d, g n d, g n r -> g n d"
+_RELWIN_BWD_RULE = ("g n d, g n d, g n d, g n r, g n d"
+                    " -> g n d, g n d, g n d, g n r")
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
-def _fused_relwin(q3, k3, v3, rh3, rw3, bg, n_real, kh_size, kw_size,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _fused_relwin(q3, k3, v3, rel3, bg, n_real, kh_size, kw_size,
                   interpret):
     from .partitioning import cached_axis0
     fn = cached_axis0(_relwin_fwd_factory,
                       (bg, n_real, kh_size, kw_size, interpret),
                       _RELWIN_FWD_RULE)
-    return fn(q3, k3, v3, rh3, rw3)
+    return fn(q3, k3, v3, rel3)
 
 
-def _fused_relwin_fwd(q3, k3, v3, rh3, rw3, bg, n_real, kh_size, kw_size,
+def _fused_relwin_fwd(q3, k3, v3, rel3, bg, n_real, kh_size, kw_size,
                       interpret):
-    out = _fused_relwin(q3, k3, v3, rh3, rw3, bg, n_real, kh_size,
+    out = _fused_relwin(q3, k3, v3, rel3, bg, n_real, kh_size,
                         kw_size, interpret)
-    return out, (q3, k3, v3, rh3, rw3)
+    return out, (q3, k3, v3, rel3)
 
 
 def _fused_relwin_bwd(bg, n_real, kh_size, kw_size, interpret, res, g_out):
-    q3, k3, v3, rh3, rw3 = res
+    q3, k3, v3, rel3 = res
     from .partitioning import cached_axis0
     fn = cached_axis0(_relwin_bwd_factory,
                       (bg, n_real, kh_size, kw_size, interpret),
                       _RELWIN_BWD_RULE)
-    return fn(q3, k3, v3, rh3, rw3, g_out.astype(q3.dtype))
+    return fn(q3, k3, v3, rel3, g_out.astype(q3.dtype))
 
 
 _fused_relwin.defvjp(_fused_relwin_fwd, _fused_relwin_bwd)
@@ -1008,11 +1006,12 @@ def fused_attention_relwin(q, k, v, rel_h, rel_w, n_real=None,
     bg = block_heads
     while g_total % bg:
         bg //= 2
+    # [rh | rw] on the lane axis: the kernel expands the combined bias
+    # with ONE one-hot dot; concat's VJP splits d_rel back automatically.
+    rel3 = jnp.concatenate(
+        [rel_h.reshape(g_total, n, kh_size).astype(jnp.float32),
+         rel_w.reshape(g_total, n, kw_size).astype(jnp.float32)], axis=-1)
     out = _fused_relwin(q.reshape(g_total, n, d), k.reshape(g_total, n, d),
-                        v.reshape(g_total, n, d),
-                        rel_h.reshape(g_total, n, kh_size).astype(
-                            jnp.float32),
-                        rel_w.reshape(g_total, n, kw_size).astype(
-                            jnp.float32),
+                        v.reshape(g_total, n, d), rel3,
                         bg, n_real, kh_size, kw_size, interpret)
     return out.reshape(b, h, n, d)
