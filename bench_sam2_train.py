@@ -84,11 +84,13 @@ def bench_sam2_train(use_flash=True, frames=4, bs=1, use_remat=True):
     return (time.perf_counter() - t0) / iters * 1000, compile_s
 
 
-def bench_encoder(frames=4, bs=1, use_flash=True):
+def bench_encoder(frames=4, bs=1, use_flash=True, bwd_only=False):
     """Hiera-B+ encoder forward over the T flattened frames (fwd and
     remat fwd+bwd) — attribution probe for the full-step number.
     use_flash routes the 3 global-attention blocks (4096 tokens, d=56
-    zero-padded to 64) through the fused pallas kernel."""
+    zero-padded to 64) through the fused pallas kernel. bwd_only skips
+    the fwd-only timing (halves cold compiles for the driver bench,
+    which only consumes the fwd+bwd ratio)."""
     import jax
     import jax.numpy as jnp
     import numpy as np

@@ -47,13 +47,19 @@ for h, d in [(1, 256), (2, 128), (4, 64)]:
     q = jnp.asarray(rs.randn(B, h, NQ, d), jnp.bfloat16)
     k = jnp.asarray(rs.randn(B, h, NK, d), jnp.bfloat16)
     v = jnp.asarray(rs.randn(B, h, NK, d), jnp.bfloat16)
-    bias = jnp.asarray(rs.rand(B, NK) > 0.1, jnp.float32) * 0.0
+    # realistic slot-validity masking: ~10% of keys masked with -1e9, the
+    # production memory-attention bias pattern (ADVICE r4: a 0.0 bias never
+    # exercised the large-negative softmax path)
+    bias = jnp.where(jnp.asarray(rs.rand(B, NK) < 0.1), -1e9, 0.0).astype(
+        jnp.float32)
 
-    flash = jax.jit(lambda q, k, v, b: flash_attention(q, k, v, bias=b))
+    flash = jax.jit(lambda q, k, v, b: flash_attention(
+        q, k, v, bias=b, force_pallas=True))
     ref = jax.jit(xla_attn)
 
     def loss_flash(q, k, v, b):
-        return flash_attention(q, k, v, bias=b).astype(jnp.float32).sum()
+        return flash_attention(q, k, v, bias=b,
+                               force_pallas=True).astype(jnp.float32).sum()
 
     def loss_ref(q, k, v, b):
         return xla_attn(q, k, v, b).astype(jnp.float32).sum()
