@@ -177,6 +177,22 @@ def run_training(config, work_dir: str, *,
         train_hours = float(restored["train_hours"])
         log(f"resumed from epoch {start_epoch - 1}")
 
+    def host_tree(tree):
+        """Materialize a state pytree to host numpy for checkpointing.
+        device_get raises on non-fully-addressable arrays (ZeRO-1 moments
+        sharded across processes), so those are allgathered first."""
+        if jax.process_count() == 1:
+            return jax.device_get(tree)
+        from jax.experimental import multihost_utils
+
+        def fetch(x):
+            if hasattr(x, "is_fully_addressable") \
+                    and not x.is_fully_addressable:
+                return multihost_utils.process_allgather(x, tiled=True)
+            return jax.device_get(x)
+
+        return jax.tree.map(fetch, tree)
+
     base_rng = jax.random.PRNGKey(config.seed + 7)
     eval_epochs = getattr(config, "eval_epochs", None)  # None = every epoch
     save_interval = getattr(config, "save_interval", None)
@@ -225,23 +241,27 @@ def run_training(config, work_dir: str, *,
             log(f"epoch {epoch}: train loss avg {epoch_loss_avg:.4f} "
                 f"hours {train_hours:.2f}")
 
-        if is_main:
-            improved = (best_metric is None or
-                        (metric > best_metric if higher_is_better
-                         else metric < best_metric))
-            if metric is not None and improved:
-                best_metric = metric
-                store.save_best(jax.device_get(
-                    state.ema_params if use_ema else state.params))
-            if save_interval is None or epoch % save_interval == 0 \
-                    or epoch == config.epochs:
-                store.save_latest({
-                    "state": jax.device_get(state),
-                    "epoch": epoch,
-                    "best_metric": best_metric if best_metric is not None
-                    else 0.0,
-                    "train_hours": train_hours,
-                })
+        # checkpoint saves are COLLECTIVE: every process calls store.save_*
+        # (metric is psum'd/replicated so `improved` agrees everywhere);
+        # orbax writes from the primary host only — the multi-process
+        # equivalent of the reference's rank-0 torch.save
+        # (/root/reference/tools/train_classification_model.py:229-262)
+        improved = (best_metric is None or
+                    (metric > best_metric if higher_is_better
+                     else metric < best_metric))
+        if metric is not None and improved:
+            best_metric = metric
+            store.save_best(host_tree(
+                state.ema_params if use_ema else state.params))
+        if save_interval is None or epoch % save_interval == 0 \
+                or epoch == config.epochs:
+            store.save_latest({
+                "state": host_tree(state),
+                "epoch": epoch,
+                "best_metric": best_metric if best_metric is not None
+                else 0.0,
+                "train_hours": train_hours,
+            })
 
     log(f"done: best metric {best_metric}")
     return best_metric, state

@@ -68,6 +68,12 @@ class ResNet(nn.Module):
     inplanes: int = 64
     num_classes: int = 1000
     use_gradient_checkpoint: bool = False
+    # per-stage stride of the first block; None = classification default
+    # (1,2,2,2). OCR text recognition uses (1,2,(2,1),(2,1)) — H downsampled
+    # 32x but W only 8x so CTC keeps enough time steps
+    # (/root/reference/SimpleAICV/text_recognition/models/backbones/
+    # resnet.py:167-190)
+    stage_strides: Any = None
     dtype: Any = jnp.float32
 
     # feature channels after each stage (used by detection/seg necks)
@@ -89,7 +95,14 @@ class ResNet(nn.Module):
         for stage_idx, n_blocks in enumerate(self.layer_nums):
             planes = self.inplanes * (2**stage_idx)
             for i in range(n_blocks):
-                stride = 2 if (stage_idx > 0 and i == 0) else 1
+                if i != 0:
+                    stride = 1
+                elif self.stage_strides is not None:
+                    stride = self.stage_strides[stage_idx]
+                    stride = tuple(stride) if isinstance(
+                        stride, (tuple, list)) else stride
+                else:
+                    stride = 2 if stage_idx > 0 else 1
                 x = block(planes, stride, dtype=self.dtype,
                           name=f"layer{stage_idx + 1}_{i}")(x, train)
             feats.append(x)

@@ -86,9 +86,11 @@ class ConvBnAct(nn.Module):
         pad = self.padding
         if isinstance(pad, int):
             pad = [(pad, pad), (pad, pad)]
+        stride = self.stride if isinstance(self.stride, (tuple, list)) \
+            else (self.stride, self.stride)  # (2,1): OCR backbones keep W
         x = nn.Conv(self.planes,
                     (self.kernel_size, self.kernel_size),
-                    strides=(self.stride, self.stride),
+                    strides=tuple(stride),
                     padding=pad,
                     feature_group_count=self.groups,
                     kernel_dilation=(self.dilation, self.dilation),

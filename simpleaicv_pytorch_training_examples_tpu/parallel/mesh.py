@@ -26,10 +26,20 @@ def distributed_init() -> None:
     """Multi-process JAX bootstrap (no-op single-process).
 
     Controlled by the standard JAX coordinator env vars; replaces the
-    reference's `init_process_group('nccl', init_method='env://')`.
-    """
-    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+    reference's `init_process_group('nccl', init_method='env://')`
+    (torchrun env:// rendezvous, multi-node train.sh:18-40). When
+    JAX_NUM_PROCESSES/JAX_PROCESS_ID are set they are passed explicitly
+    (localhost CPU rendezvous, exercised by
+    tests/test_multiprocess_rendezvous.py); otherwise initialize()
+    autodetects from the cluster environment (TPU pod metadata, SLURM)."""
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not addr:
+        return
+    kwargs = {"coordinator_address": addr}
+    if os.environ.get("JAX_NUM_PROCESSES"):
+        kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+        kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+    jax.distributed.initialize(**kwargs)
 
 
 def build_mesh(data_parallel_size: int = -1,
@@ -102,8 +112,19 @@ def shard_batch(batch, mesh: Mesh):
 
     The TPU replacement for the reference's per-rank `.cuda()` H2D copy
     (tools/scripts.py:143): one global array per field, sharded over `data`.
+
+    Multi-process: the loader hands each process only ITS slice of the
+    global batch (DistributedSampler semantics, data/loader.py:91), so the
+    global array is assembled from process-local shards — device_put with
+    a cross-process sharding would need the full global value on every
+    host. Process p's loader slice lands on process p's devices because
+    build_mesh lays `jax.devices()` out in process order.
     """
     sharding = data_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), batch)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 

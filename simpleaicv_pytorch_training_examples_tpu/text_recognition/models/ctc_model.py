@@ -26,29 +26,55 @@ __all__ = [
 ]
 
 
+class BiLSTM(nn.Module):
+    """One bidirectional LSTM layer: [fwd, bwd] concat on features (torch
+    nn.LSTM(bidirectional=True) output order)."""
+    hidden_planes: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        fwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden_planes,
+                                          name="fwd_cell"))
+        bwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden_planes,
+                                          name="bwd_cell"),
+                     reverse=True, keep_order=True)
+        return jnp.concatenate([fwd(x), bwd(x)], axis=-1)
+
+
 class BiLSTMEncoder(nn.Module):
+    """Stacked encoder, structure-exact with the reference
+    (/root/reference/SimpleAICV/text_recognition/models/encoder.py:17-47):
+    linear0 -> BiLSTM -> linear1 -> BiLSTM -> linear2, so published CTC
+    checkpoints convert leaf-for-leaf (utils/torch_convert.py)."""
     hidden_planes: int = 256
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         # x [B, W, C]
-        fwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden_planes), name="fwd")
-        bwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden_planes), name="bwd",
-                     reverse=True, keep_order=True)
-        x = jnp.concatenate([fwd(x), bwd(x)], axis=-1)
+        x = nn.Dense(self.hidden_planes, dtype=self.dtype,
+                     name="linear0")(x)
+        x = BiLSTM(self.hidden_planes, self.dtype, name="rnn1")(x)
+        x = nn.Dense(self.hidden_planes, dtype=self.dtype,
+                     name="linear1")(x)
+        x = BiLSTM(self.hidden_planes, self.dtype, name="rnn2")(x)
         return nn.Dense(self.hidden_planes, dtype=self.dtype,
-                        name="proj")(x)
+                        name="linear2")(x)
 
 
 class CTCPredictor(nn.Module):
+    """linear1 -> linear2 (reference predictor.py:17-28)."""
     num_classes: int
+    hidden_planes: int = 256
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        x = nn.Dense(self.hidden_planes, dtype=self.dtype,
+                     name="linear1")(x)
         return nn.Dense(self.num_classes, dtype=jnp.float32,
-                        name="fc")(x.astype(jnp.float32))
+                        name="linear2")(x.astype(jnp.float32))
 
 
 class CTCModel(nn.Module):
@@ -61,14 +87,21 @@ class CTCModel(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        kwargs = {}
+        if self.backbone_type.startswith("resnet"):
+            # OCR strides: W downsampled 8x (not 32x) so a 512-wide crop
+            # keeps 64 CTC time steps for 80-char labels (reference OCR
+            # resnet layer3/4 stride (2,1))
+            kwargs["stage_strides"] = (1, 2, (2, 1), (2, 1))
         feats = cls_backbones.__dict__[self.backbone_type](
             dtype=self.dtype,
             use_gradient_checkpoint=self.use_gradient_checkpoint,
-            name="backbone")(x, train=train, return_features=True)
+            name="backbone", **kwargs)(x, train=train,
+                                       return_features=True)
         x = feats[-1]  # [B, H', W', C]
         x = jnp.mean(x, axis=1)  # height mean pool -> [B, W', C]
         x = BiLSTMEncoder(self.planes, self.dtype, name="encoder")(x)
-        return CTCPredictor(self.num_classes, self.dtype,
+        return CTCPredictor(self.num_classes, self.planes, self.dtype,
                             name="predictor")(x)
 
 

@@ -34,21 +34,36 @@ class CheckpointStore:
     def _path(self, name: str) -> str:
         return os.path.join(self.checkpoint_dir, name)
 
-    def save_latest(self, state_tree: dict):
-        """state_tree: pure pytree of arrays + python scalars (epoch etc.)."""
-        path = self._path("latest")
-        if os.path.exists(path):
-            # orbax refuses to overwrite; keep latest.pth overwrite semantics
-            import shutil
+    _sync_counter = 0
+
+    def _clear(self, path: str):
+        """Overwrite semantics (latest.pth behavior) — orbax refuses to
+        overwrite. Multi-process: orbax saves are collective (every
+        process must call save; the primary host does the writes), so
+        only process 0 clears, behind a barrier so no process can enter
+        the new save while the old directory is mid-delete."""
+        import shutil
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            if jax.process_index() == 0 and os.path.exists(path):
+                shutil.rmtree(path)
+            CheckpointStore._sync_counter += 1
+            multihost_utils.sync_global_devices(
+                f"ckpt_clear_{CheckpointStore._sync_counter}")
+        elif os.path.exists(path):
             shutil.rmtree(path)
+
+    def save_latest(self, state_tree: dict):
+        """state_tree: pure pytree of arrays + python scalars (epoch etc.).
+        Collective under multi-process (call from EVERY process)."""
+        path = self._path("latest")
+        self._clear(path)
         self._ckptr.save(path, state_tree)
         self._ckptr.wait_until_finished()
 
     def save_best(self, params):
         path = self._path("best")
-        if os.path.exists(path):
-            import shutil
-            shutil.rmtree(path)
+        self._clear(path)
         self._ckptr.save(path, params)
         self._ckptr.wait_until_finished()
 

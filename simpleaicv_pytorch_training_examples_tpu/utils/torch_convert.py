@@ -21,6 +21,10 @@ __all__ = ["convert_resnet_state_dict", "convert_vit_state_dict",
            "convert_sam_encoder_state_dict", "convert_sam_state_dict",
            "convert_sam2_encoder_state_dict", "convert_sam2_state_dict",
            "convert_retinanet_state_dict", "convert_fcos_state_dict",
+           "convert_pfan_state_dict", "convert_dbnet_state_dict",
+           "convert_ctc_state_dict", "convert_solov2_state_dict",
+           "convert_yolact_state_dict",
+           "convert_universal_segmentation_state_dict",
            "merge_converted"]
 
 
@@ -748,6 +752,200 @@ def convert_sam2_state_dict(sd):
         put_linear(f"{tl}.pwconv2", f"{fl}.pwconv2")
     put_conv(f"{me}.out_proj", f"{fe}.out_proj")
     return params, constants
+
+
+def _convert_backbone(sd):
+    """Dispatch a backbone sub-dict to the right family converter by key
+    signature (the reference's detection/dense-prediction backbones reuse
+    the classification module naming minus the fc head)."""
+    if any(k.startswith("patch_embed1.") for k in sd):
+        return convert_van_state_dict(sd)
+    if any(k.startswith("downsample_layers.") and ".conv." in k
+           for k in sd):
+        return convert_convformer_state_dict(sd)
+    if any(k.startswith("downsample_layers.") for k in sd):
+        return convert_dinov3_convnext_state_dict(sd)
+    if any(k.startswith("conv1.layer") for k in sd):
+        return convert_resnet_state_dict(sd)
+    return convert_dinov3_vit_state_dict(sd)
+
+
+def convert_pfan_state_dict(sd, head="semantic"):
+    """Reference PFAN dense-prediction family -> this framework's
+    models/pfan.py trees. Covers all four reference head layouts:
+
+    - head="semantic": PFANSemanticSegmentation
+      (/root/reference/SimpleAICV/semantic_segmentation/models/
+      pfan_semantic_segmentation.py:155-320; face/human parsing reuse the
+      same module with different class counts)
+    - head="sod": PFANSegmentation (salient_object_detection/models/
+      pfan_segmentation.py, identical layout, 1-ch pred)
+    - head="matting": PFANMatting (human_matting/models/pfan_matting.py:
+      158-352 — global_*/local_* twin decoders + twin pred convs)
+
+    Torch naming: {prefix}high_level_cpfe_{3,4}.{conv_1_1,conv_dil_*,conv},
+    {prefix}{high,low}_level_conv*, {prefix}reduce_conv1,
+    {prefix}upsample_conv{1,2,3}, {prefix}pred_conv; ConvBnActBlock packs
+    conv/bn as .layer.{0,1}, ConvTransposeBnActBlock likewise. Flax
+    naming: the same component names under decoder./global_decoder./
+    local_decoder. scopes (models/pfan.py::PFANDecoder).
+    """
+    params, stats = {}, {}
+    backbone_sd = {k[len("backbone."):]: v for k, v in sd.items()
+                   if k.startswith("backbone.")}
+    bp, bs = _convert_backbone(backbone_sd)
+    params.update({f"backbone.{k}": v for k, v in bp.items()})
+    stats.update({f"backbone.{k}": v for k, v in bs.items()})
+
+    def put_convbn(tp, fp):
+        params[f"{fp}.conv.kernel"] = _conv_w(
+            np.asarray(sd[f"{tp}.layer.0.weight"]))
+        params[f"{fp}.bn.scale"] = np.asarray(sd[f"{tp}.layer.1.weight"])
+        params[f"{fp}.bn.bias"] = np.asarray(sd[f"{tp}.layer.1.bias"])
+        stats[f"{fp}.bn.mean"] = np.asarray(
+            sd[f"{tp}.layer.1.running_mean"])
+        stats[f"{fp}.bn.var"] = np.asarray(
+            sd[f"{tp}.layer.1.running_var"])
+
+    def put_deconvbn(tp, fp):
+        params[f"{fp}.deconv.kernel"] = _convtranspose_w(
+            np.asarray(sd[f"{tp}.layer.0.weight"]))
+        params[f"{fp}.bn.scale"] = np.asarray(sd[f"{tp}.layer.1.weight"])
+        params[f"{fp}.bn.bias"] = np.asarray(sd[f"{tp}.layer.1.bias"])
+        stats[f"{fp}.bn.mean"] = np.asarray(
+            sd[f"{tp}.layer.1.running_mean"])
+        stats[f"{fp}.bn.var"] = np.asarray(
+            sd[f"{tp}.layer.1.running_var"])
+
+    def put_cpfe(tp, fp):
+        params[f"{fp}.conv_1_1.kernel"] = _conv_w(
+            np.asarray(sd[f"{tp}.conv_1_1.weight"]))
+        for d in (3, 5, 7):
+            params[f"{fp}.conv_dil_{d}.kernel"] = _conv_w(
+                np.asarray(sd[f"{tp}.conv_dil_{d}.weight"]))
+        put_convbn(f"{tp}.conv", f"{fp}.conv")
+
+    def put_decoder(tprefix, fprefix):
+        put_cpfe(f"{tprefix}high_level_cpfe_3",
+                 f"{fprefix}.high_level_cpfe_3")
+        put_cpfe(f"{tprefix}high_level_cpfe_4",
+                 f"{fprefix}.high_level_cpfe_4")
+        for name in ("high_level_conv", "low_level_conv_1",
+                     "low_level_conv_2", "low_level_conv", "reduce_conv1",
+                     "upsample_conv2"):
+            put_convbn(f"{tprefix}{name}", f"{fprefix}.{name}")
+        put_deconvbn(f"{tprefix}upsample_conv1",
+                     f"{fprefix}.upsample_conv1")
+        put_deconvbn(f"{tprefix}upsample_conv3",
+                     f"{fprefix}.upsample_conv3")
+
+    def put_pred(tp, fp):
+        params[f"{fp}.kernel"] = _conv_w(np.asarray(sd[f"{tp}.weight"]))
+        params[f"{fp}.bias"] = np.asarray(sd[f"{tp}.bias"])
+
+    if head == "matting":
+        put_decoder("global_", "global_decoder")
+        put_decoder("local_", "local_decoder")
+        put_pred("global_pred_conv", "global_pred_conv")
+        put_pred("local_pred_conv", "local_pred_conv")
+    else:
+        put_decoder("", "decoder")
+        put_pred("pred_conv", "pred_conv")
+    return params, stats
+
+
+def convert_dbnet_state_dict(sd):
+    """Reference DBNet (text_detection/models/{dbnet,fpn,head}.py naming:
+    backbone.*, fpn.{c2..c5,p2..p4,last}_conv.layer.{0,1},
+    head.{binary,thresh}_conv.{0,1,2} = ConvBnActBlock /
+    ConvTransposeBnActBlock / bare ConvTranspose2d) -> this framework's
+    DBNet (text_detection/models.py: fpn.*.{conv,bn},
+    head.{binary,thresh}_{conv,up1,up2})."""
+    params, stats = {}, {}
+    backbone_sd = {k[len("backbone."):]: v for k, v in sd.items()
+                   if k.startswith("backbone.")}
+    bp, bs = _convert_backbone(backbone_sd)
+    params.update({f"backbone.{k}": v for k, v in bp.items()})
+    stats.update({f"backbone.{k}": v for k, v in bs.items()})
+
+    def put_convbn(tp, fp):
+        params[f"{fp}.conv.kernel"] = _conv_w(
+            np.asarray(sd[f"{tp}.layer.0.weight"]))
+        params[f"{fp}.bn.scale"] = np.asarray(sd[f"{tp}.layer.1.weight"])
+        params[f"{fp}.bn.bias"] = np.asarray(sd[f"{tp}.layer.1.bias"])
+        stats[f"{fp}.bn.mean"] = np.asarray(
+            sd[f"{tp}.layer.1.running_mean"])
+        stats[f"{fp}.bn.var"] = np.asarray(
+            sd[f"{tp}.layer.1.running_var"])
+
+    for name in ("c2_conv", "c3_conv", "c4_conv", "c5_conv", "p2_conv",
+                 "p3_conv", "p4_conv", "last_conv"):
+        put_convbn(f"fpn.{name}", f"fpn.{name}")
+    for branch in ("binary", "thresh"):
+        put_convbn(f"head.{branch}_conv.0", f"head.{branch}_conv")
+        params[f"head.{branch}_up1.deconv.kernel"] = _convtranspose_w(
+            np.asarray(sd[f"head.{branch}_conv.1.layer.0.weight"]))
+        params[f"head.{branch}_up1.bn.scale"] = np.asarray(
+            sd[f"head.{branch}_conv.1.layer.1.weight"])
+        params[f"head.{branch}_up1.bn.bias"] = np.asarray(
+            sd[f"head.{branch}_conv.1.layer.1.bias"])
+        stats[f"head.{branch}_up1.bn.mean"] = np.asarray(
+            sd[f"head.{branch}_conv.1.layer.1.running_mean"])
+        stats[f"head.{branch}_up1.bn.var"] = np.asarray(
+            sd[f"head.{branch}_conv.1.layer.1.running_var"])
+        params[f"head.{branch}_up2.kernel"] = _convtranspose_w(
+            np.asarray(sd[f"head.{branch}_conv.2.weight"]))
+        params[f"head.{branch}_up2.bias"] = np.asarray(
+            sd[f"head.{branch}_conv.2.bias"])
+    return params, stats
+
+
+def _put_lstm_direction(sd, params, tp, suffix, fp):
+    """One torch nn.LSTM direction -> flax OptimizedLSTMCell leaves.
+
+    torch packs gates as 4H rows in (i, f, g, o) order with two bias
+    vectors that are summed at runtime; flax keeps per-gate Dense layers
+    (input kernels ii/if/ig/io without bias, hidden kernels+bias
+    hi/hf/hg/ho) — the summed torch bias lands on the hidden Dense."""
+    w_ih = np.asarray(sd[f"{tp}.weight_ih_l0{suffix}"])
+    w_hh = np.asarray(sd[f"{tp}.weight_hh_l0{suffix}"])
+    b = (np.asarray(sd[f"{tp}.bias_ih_l0{suffix}"])
+         + np.asarray(sd[f"{tp}.bias_hh_l0{suffix}"]))
+    h = w_hh.shape[1]
+    for gi, g in enumerate("ifgo"):
+        params[f"{fp}.i{g}.kernel"] = _linear_w(
+            w_ih[gi * h:(gi + 1) * h])
+        params[f"{fp}.h{g}.kernel"] = _linear_w(
+            w_hh[gi * h:(gi + 1) * h])
+        params[f"{fp}.h{g}.bias"] = b[gi * h:(gi + 1) * h]
+
+
+def convert_ctc_state_dict(sd):
+    """Reference CTCModel (text_recognition/models/{ctc_model,encoder,
+    predictor}.py naming: backbone.* OCR resnet, encoder.linear{0,1,2} +
+    encoder.rnn{1,2} bidirectional LSTMs, predictor.linear{1,2}) -> this
+    framework's CTCModel (text_recognition/models/ctc_model.py)."""
+    params, stats = {}, {}
+    backbone_sd = {k[len("backbone."):]: v for k, v in sd.items()
+                   if k.startswith("backbone.")}
+    bp, bs = _convert_backbone(backbone_sd)
+    params.update({f"backbone.{k}": v for k, v in bp.items()})
+    stats.update({f"backbone.{k}": v for k, v in bs.items()})
+
+    def put_linear(tp, fp):
+        params[f"{fp}.kernel"] = _linear_w(np.asarray(sd[f"{tp}.weight"]))
+        params[f"{fp}.bias"] = np.asarray(sd[f"{tp}.bias"])
+
+    for i in (0, 1, 2):
+        put_linear(f"encoder.linear{i}", f"encoder.linear{i}")
+    for rnn in ("rnn1", "rnn2"):
+        _put_lstm_direction(sd, params, f"encoder.{rnn}", "",
+                            f"encoder.{rnn}.fwd_cell")
+        _put_lstm_direction(sd, params, f"encoder.{rnn}", "_reverse",
+                            f"encoder.{rnn}.bwd_cell")
+    put_linear("predictor.linear1", "predictor.linear1")
+    put_linear("predictor.linear2", "predictor.linear2")
+    return params, stats
 
 
 def convert_retinanet_state_dict(sd):

@@ -757,3 +757,198 @@ def test_fcos_full_detector_parity_with_reference():
     for t_o, j_o in zip(t_cnt, j_cnt):
         np.testing.assert_allclose(t_o.numpy(), np.asarray(j_o),
                                    atol=2e-4, rtol=1e-3)
+
+
+def _torchvision_stub():
+    import types
+    for name in ("torchvision", "torchvision.transforms",
+                 "torchvision.ops"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    sys.modules["torchvision"].transforms = \
+        sys.modules["torchvision.transforms"]
+
+
+def test_pfan_semantic_segmentation_logit_parity_with_reference():
+    """Head-converter parity (VERDICT r4 next #7): the published PFAN
+    seg/parsing checkpoints (/root/reference/RESULTS.md tasks 04/11/12)
+    can seed this framework's PFANSemanticSegmentation."""
+    import torch
+    _torchvision_stub()
+    sys.path.insert(0, REFERENCE)
+    from SimpleAICV.semantic_segmentation.models.pfan_semantic_segmentation import (
+        resnet18_pfan_semantic_segmentation)
+
+    torch.manual_seed(0)
+    tmodel = resnet18_pfan_semantic_segmentation(num_classes=5)
+    tmodel.eval()
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+
+    import jax
+    import jax.numpy as jnp
+    from simpleaicv_pytorch_training_examples_tpu.engine import init_model
+    from simpleaicv_pytorch_training_examples_tpu.models.pfan import (
+        PFANSemanticSegmentation)
+    from simpleaicv_pytorch_training_examples_tpu.utils.torch_convert import (
+        convert_pfan_state_dict, merge_converted)
+
+    model = PFANSemanticSegmentation(backbone_type="resnet18",
+                                     num_classes=5)
+    params, variables = init_model(model, (1, 64, 64, 3),
+                                   jax.random.PRNGKey(0))
+    p_flat, s_flat = convert_pfan_state_dict(sd, head="semantic")
+    tree_paths = {"/".join(p) for p in _flat_paths(params)}
+    missing = [n for n in p_flat if n.replace(".", "/") not in tree_paths]
+    assert not missing, f"unmapped converter keys: {missing[:8]}"
+    params, batch_stats = merge_converted(params, variables["batch_stats"],
+                                          p_flat, s_flat)
+
+    rs = np.random.RandomState(0)
+    x = rs.rand(2, 64, 64, 3).astype(np.float32)
+    with torch.no_grad():
+        t_out = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    j_out = np.asarray(model.apply(
+        {"params": params, "batch_stats": batch_stats}, jnp.asarray(x),
+        train=False))
+    np.testing.assert_allclose(j_out.transpose(0, 3, 1, 2), t_out,
+                               atol=1e-3, rtol=1e-3)
+
+
+def test_pfan_matting_parity_with_reference():
+    """Twin-decoder matting head converter (tasks 07) vs the reference's
+    PFANMatting (global trimap + local alpha + collaborative fusion)."""
+    import torch
+    _torchvision_stub()
+    sys.path.insert(0, REFERENCE)
+    from SimpleAICV.human_matting.models.pfan_matting import (
+        resnet18_pfan_matting)
+
+    torch.manual_seed(0)
+    tmodel = resnet18_pfan_matting()
+    tmodel.eval()
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+
+    import jax
+    import jax.numpy as jnp
+    from simpleaicv_pytorch_training_examples_tpu.engine import init_model
+    from simpleaicv_pytorch_training_examples_tpu.models.pfan import (
+        PFANMatting)
+    from simpleaicv_pytorch_training_examples_tpu.utils.torch_convert import (
+        convert_pfan_state_dict, merge_converted)
+
+    model = PFANMatting(backbone_type="resnet18")
+    params, variables = init_model(model, (1, 64, 64, 3),
+                                   jax.random.PRNGKey(0))
+    p_flat, s_flat = convert_pfan_state_dict(sd, head="matting")
+    tree_paths = {"/".join(p) for p in _flat_paths(params)}
+    missing = [n for n in p_flat if n.replace(".", "/") not in tree_paths]
+    assert not missing, f"unmapped converter keys: {missing[:8]}"
+    params, batch_stats = merge_converted(params, variables["batch_stats"],
+                                          p_flat, s_flat)
+
+    rs = np.random.RandomState(0)
+    x = rs.rand(2, 64, 64, 3).astype(np.float32)
+    with torch.no_grad():
+        t_g, t_l, t_f = [o.numpy() for o in tmodel(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)))]
+    j_g, j_l, j_f = model.apply(
+        {"params": params, "batch_stats": batch_stats}, jnp.asarray(x),
+        train=False)
+    np.testing.assert_allclose(np.asarray(j_g).transpose(0, 3, 1, 2), t_g,
+                               atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(j_l).transpose(0, 3, 1, 2), t_l,
+                               atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(j_f).transpose(0, 3, 1, 2), t_f,
+                               atol=1e-3, rtol=1e-3)
+
+
+def test_dbnet_map_parity_with_reference():
+    """DBNet head converter (task 08): published text-detection
+    checkpoints can seed this framework's DBNet."""
+    import torch
+    _torchvision_stub()
+    sys.path.insert(0, REFERENCE)
+    from SimpleAICV.text_detection.models.dbnet import resnet18_dbnet \
+        as torch_dbnet
+
+    torch.manual_seed(0)
+    tmodel = torch_dbnet(inter_planes=64)
+    tmodel.eval()
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+
+    import jax
+    import jax.numpy as jnp
+    from simpleaicv_pytorch_training_examples_tpu.engine import init_model
+    from simpleaicv_pytorch_training_examples_tpu.text_detection.models import (
+        resnet18_dbnet)
+    from simpleaicv_pytorch_training_examples_tpu.utils.torch_convert import (
+        convert_dbnet_state_dict, merge_converted)
+
+    model = resnet18_dbnet(inter_planes=64)
+    params, variables = init_model(model, (1, 64, 64, 3),
+                                   jax.random.PRNGKey(0))
+    p_flat, s_flat = convert_dbnet_state_dict(sd)
+    tree_paths = {"/".join(p) for p in _flat_paths(params)}
+    missing = [n for n in p_flat if n.replace(".", "/") not in tree_paths]
+    assert not missing, f"unmapped converter keys: {missing[:8]}"
+    params, batch_stats = merge_converted(params, variables["batch_stats"],
+                                          p_flat, s_flat)
+
+    rs = np.random.RandomState(0)
+    x = rs.rand(2, 64, 64, 3).astype(np.float32)
+    with torch.no_grad():
+        t_out = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    j_out = np.asarray(model.apply(
+        {"params": params, "batch_stats": batch_stats}, jnp.asarray(x),
+        train=False))
+    np.testing.assert_allclose(j_out.transpose(0, 3, 1, 2), t_out,
+                               atol=1e-3, rtol=1e-3)
+
+
+def test_ctc_model_logit_parity_with_reference():
+    """CTC recognizer converter (task 09): OCR-stride resnet backbone +
+    stacked BiLSTM encoder + 2-linear predictor, leaf-for-leaf vs the
+    reference CTCModel (incl. torch nn.LSTM gate repacking)."""
+    import torch
+    _torchvision_stub()
+    sys.path.insert(0, REFERENCE)
+    from SimpleAICV.text_recognition.models.ctc_model import CTCModel \
+        as TorchCTCModel
+
+    torch.manual_seed(0)
+    tmodel = TorchCTCModel(backbone_type="resnet18backbone", planes=32,
+                           num_classes=50)
+    tmodel.eval()
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+
+    import jax
+    import jax.numpy as jnp
+    from simpleaicv_pytorch_training_examples_tpu.engine import init_model
+    from simpleaicv_pytorch_training_examples_tpu.text_recognition.models.ctc_model import (
+        CTCModel)
+    from simpleaicv_pytorch_training_examples_tpu.utils.torch_convert import (
+        convert_ctc_state_dict, merge_converted)
+
+    model = CTCModel("resnet18", planes=32, num_classes=50)
+    params, variables = init_model(model, (1, 32, 128, 3),
+                                   jax.random.PRNGKey(0))
+    p_flat, s_flat = convert_ctc_state_dict(sd)
+    tree_paths = {"/".join(p) for p in _flat_paths(params)}
+    missing = [n for n in p_flat if n.replace(".", "/") not in tree_paths]
+    assert not missing, f"unmapped converter keys: {missing[:8]}"
+    params, batch_stats = merge_converted(params, variables["batch_stats"],
+                                          p_flat, s_flat)
+
+    rs = np.random.RandomState(0)
+    x = rs.rand(2, 32, 128, 3).astype(np.float32)
+    with torch.no_grad():
+        t_out = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    j_out = np.asarray(model.apply(
+        {"params": params, "batch_stats": batch_stats}, jnp.asarray(x),
+        train=False))
+    # [B, W', num_classes] both sides. Tolerance: the resnet C5 parity
+    # noise (~2e-3, same as test_resnet18_logit_parity) is amplified by
+    # two stacked LSTM recurrences over 16 steps; the LSTM gate repacking
+    # itself is exact to 9e-8 (verified in isolation: torch fused [4H]
+    # matmul vs flax per-gate Dense on identical weights).
+    assert t_out.shape == j_out.shape, (t_out.shape, j_out.shape)
+    np.testing.assert_allclose(j_out, t_out, atol=6e-3, rtol=1e-3)
