@@ -33,7 +33,12 @@ _PRIOR_BIAS = -math.log((1.0 - 0.01) / 0.01)
 
 
 def _resize(x, h, w):
-    return jax.image.resize(x, (x.shape[0], h, w, x.shape[-1]), "bilinear")
+    # antialias=False: torch F.interpolate(bilinear) semantics for the P2
+    # 2x DOWNSCALE feeding the bbox head (jax antialiases downsampling by
+    # default, which breaks published-checkpoint parity; upsampling paths
+    # are unaffected)
+    return jax.image.resize(x, (x.shape[0], h, w, x.shape[-1]), "bilinear",
+                            antialias=False)
 
 
 def _coord_features(x):

@@ -948,6 +948,91 @@ def convert_ctc_state_dict(sd):
     return params, stats
 
 
+def convert_solov2_state_dict(sd):
+    """Reference SOLOV2 (instance_segmentation/models/solov2.py naming:
+    backbone.*, fpn.{lateral,fpn}_conv_layers.{i}, mask_feature_head.
+    level_{j}_conv{k}.{conv,gn} + pred_conv, bbox_head.{cate,kernel}_
+    conv_layers.{i}.{conv,gn} + {cate,kernel}_pred_conv) -> this
+    framework's SOLOV2 (instance_segmentation/models/solov2.py:
+    fpn.lateral_{i}/fpn_{i}, mask_feature_head.level_*_conv*.{conv,gn},
+    bbox_head.{cate,kernel}_conv_{i} + *_pred_conv)."""
+    params, stats = {}, {}
+    backbone_sd = {k[len("backbone."):]: v for k, v in sd.items()
+                   if k.startswith("backbone.")}
+    bp, bs = _convert_backbone(backbone_sd)
+    params.update({f"backbone.{k}": v for k, v in bp.items()})
+    stats.update({f"backbone.{k}": v for k, v in bs.items()})
+
+    def put_conv(tp, fp):
+        params[f"{fp}.kernel"] = _conv_w(np.asarray(sd[f"{tp}.weight"]))
+        if f"{tp}.bias" in sd:
+            params[f"{fp}.bias"] = np.asarray(sd[f"{tp}.bias"])
+
+    def put_convgn(tp, fp):
+        put_conv(f"{tp}.conv", f"{fp}.conv")
+        params[f"{fp}.gn.scale"] = np.asarray(sd[f"{tp}.gn.weight"])
+        params[f"{fp}.gn.bias"] = np.asarray(sd[f"{tp}.gn.bias"])
+
+    n_lat = 1 + max(int(k.split(".")[2]) for k in sd
+                    if k.startswith("fpn.lateral_conv_layers."))
+    for i in range(n_lat):
+        put_conv(f"fpn.lateral_conv_layers.{i}", f"fpn.lateral_{i}")
+        put_conv(f"fpn.fpn_conv_layers.{i}", f"fpn.fpn_{i}")
+    mh = "mask_feature_head"
+    for name in ("level_0_conv1", "level_1_conv1", "level_2_conv1",
+                 "level_2_conv2", "level_3_conv1", "level_3_conv2",
+                 "level_3_conv3", "pred_conv"):
+        put_convgn(f"{mh}.{name}", f"{mh}.{name}")
+    bh = "bbox_head"
+    n_stack = 1 + max(int(k.split(".")[2]) for k in sd
+                      if k.startswith(f"{bh}.cate_conv_layers."))
+    for i in range(n_stack):
+        put_convgn(f"{bh}.cate_conv_layers.{i}", f"{bh}.cate_conv_{i}")
+        put_convgn(f"{bh}.kernel_conv_layers.{i}", f"{bh}.kernel_conv_{i}")
+    put_conv(f"{bh}.cate_pred_conv", f"{bh}.cate_pred_conv")
+    put_conv(f"{bh}.kernel_pred_conv", f"{bh}.kernel_pred_conv")
+    return params, stats
+
+
+def convert_yolact_state_dict(sd):
+    """Reference YOLACT (instance_segmentation/models/yolact.py naming:
+    backbone.*, fpn.lat_layer_p{3,4,5} / pred_layers_p{3,4,5}.0 /
+    downsample_layers_p{6,7}.0, proto_net.proto_layers1.{0,2,4} +
+    proto_layers2.{0,2}, head.conv1.0 / {bbox,conf}_pred_conv /
+    coef_pred_conv.0, semantic_seg_conv) -> this framework's YOLACT
+    (fpn.lat_p*/pred_p*/down_p*, proto_net.proto1_{0,1,2}/proto2_{0,1},
+    head.conv1/box/conf/coef, semantic_seg_conv)."""
+    params, stats = {}, {}
+    backbone_sd = {k[len("backbone."):]: v for k, v in sd.items()
+                   if k.startswith("backbone.")}
+    bp, bs = _convert_backbone(backbone_sd)
+    params.update({f"backbone.{k}": v for k, v in bp.items()})
+    stats.update({f"backbone.{k}": v for k, v in bs.items()})
+
+    def put_conv(tp, fp):
+        params[f"{fp}.kernel"] = _conv_w(np.asarray(sd[f"{tp}.weight"]))
+        if f"{tp}.bias" in sd:
+            params[f"{fp}.bias"] = np.asarray(sd[f"{tp}.bias"])
+
+    for lvl in (3, 4, 5):
+        put_conv(f"fpn.lat_layer_p{lvl}", f"fpn.lat_p{lvl}")
+        put_conv(f"fpn.pred_layers_p{lvl}.0", f"fpn.pred_p{lvl}")
+    for lvl in (6, 7):
+        put_conv(f"fpn.downsample_layers_p{lvl}.0", f"fpn.down_p{lvl}")
+    for i, idx in enumerate((0, 2, 4)):
+        put_conv(f"proto_net.proto_layers1.{idx}",
+                 f"proto_net.proto1_{i}")
+    for i, idx in enumerate((0, 2)):
+        put_conv(f"proto_net.proto_layers2.{idx}",
+                 f"proto_net.proto2_{i}")
+    put_conv("head.conv1.0", "head.conv1")
+    put_conv("head.bbox_pred_conv", "head.box")
+    put_conv("head.conf_pred_conv", "head.conf")
+    put_conv("head.coef_pred_conv.0", "head.coef")
+    put_conv("semantic_seg_conv", "semantic_seg_conv")
+    return params, stats
+
+
 def convert_retinanet_state_dict(sd):
     """Reference full-detector RetinaNet (detection/models/retinanet.py:27-91
     naming: backbone.*, fpn.P{3,4,5}_{1,2}/P6/P7.1, cls_head.cls_head.{2i}/

@@ -952,3 +952,109 @@ def test_ctc_model_logit_parity_with_reference():
     # matmul vs flax per-gate Dense on identical weights).
     assert t_out.shape == j_out.shape, (t_out.shape, j_out.shape)
     np.testing.assert_allclose(j_out, t_out, atol=6e-3, rtol=1e-3)
+
+
+def test_solov2_parity_with_reference():
+    """SOLOv2 converter (task 05): published instance-seg checkpoints can
+    seed this framework's SOLOV2 (mask feats + kernel/cate heads)."""
+    import torch
+    _torchvision_stub()
+    sys.path.insert(0, REFERENCE)
+    from SimpleAICV.instance_segmentation.models.solov2 import (
+        resnet18_solov2)
+
+    torch.manual_seed(0)
+    tmodel = resnet18_solov2(num_classes=10)
+    tmodel.eval()
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+
+    import jax
+    import jax.numpy as jnp
+    from simpleaicv_pytorch_training_examples_tpu.engine import init_model
+    from simpleaicv_pytorch_training_examples_tpu.instance_segmentation.models import (
+        resnet18_solov2 as jax_solov2)
+    from simpleaicv_pytorch_training_examples_tpu.utils.torch_convert import (
+        convert_solov2_state_dict, merge_converted)
+
+    model = jax_solov2(num_classes=10)
+    params, variables = init_model(model, (1, 128, 128, 3),
+                                   jax.random.PRNGKey(0))
+    p_flat, s_flat = convert_solov2_state_dict(sd)
+    tree_paths = {"/".join(p) for p in _flat_paths(params)}
+    missing = [n for n in p_flat if n.replace(".", "/") not in tree_paths]
+    assert not missing, f"unmapped converter keys: {missing[:8]}"
+    params, batch_stats = merge_converted(params, variables["batch_stats"],
+                                          p_flat, s_flat)
+
+    rs = np.random.RandomState(0)
+    x = rs.rand(1, 128, 128, 3).astype(np.float32)
+    with torch.no_grad():
+        t_mask, t_kern, t_cate = tmodel(torch.from_numpy(
+            x.transpose(0, 3, 1, 2)))
+    j_mask, j_kern, j_cate = model.apply(
+        {"params": params, "batch_stats": batch_stats}, jnp.asarray(x),
+        train=False)
+    np.testing.assert_allclose(
+        np.asarray(j_mask).transpose(0, 3, 1, 2), t_mask.numpy(),
+        atol=2e-3, rtol=1e-3)
+    for t_o, j_o in zip(t_kern, j_kern):
+        np.testing.assert_allclose(np.asarray(j_o).transpose(0, 3, 1, 2),
+                                   t_o.numpy(), atol=2e-3, rtol=1e-3)
+    for t_o, j_o in zip(t_cate, j_cate):
+        np.testing.assert_allclose(np.asarray(j_o).transpose(0, 3, 1, 2),
+                                   t_o.numpy(), atol=2e-3, rtol=1e-3)
+
+
+def test_yolact_parity_with_reference():
+    """YOLACT converter (task 05): heads emit [B,H,W,A,C] on both sides;
+    proto/seg maps NHWC vs torch permuted outputs."""
+    import torch
+    _torchvision_stub()
+    sys.path.insert(0, REFERENCE)
+    from SimpleAICV.instance_segmentation.models.yolact import (
+        resnet18_yolact)
+
+    torch.manual_seed(0)
+    tmodel = resnet18_yolact(num_classes=11)
+    tmodel.eval()
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+
+    import jax
+    import jax.numpy as jnp
+    from simpleaicv_pytorch_training_examples_tpu.engine import init_model
+    from simpleaicv_pytorch_training_examples_tpu.instance_segmentation.models import (
+        resnet18_yolact as jax_yolact)
+    from simpleaicv_pytorch_training_examples_tpu.utils.torch_convert import (
+        convert_yolact_state_dict, merge_converted)
+
+    model = jax_yolact(num_classes=11)
+    params, variables = init_model(model, (1, 128, 128, 3),
+                                   jax.random.PRNGKey(0))
+    p_flat, s_flat = convert_yolact_state_dict(sd)
+    tree_paths = {"/".join(p) for p in _flat_paths(params)}
+    missing = [n for n in p_flat if n.replace(".", "/") not in tree_paths]
+    assert not missing, f"unmapped converter keys: {missing[:8]}"
+    params, batch_stats = merge_converted(params, variables["batch_stats"],
+                                          p_flat, s_flat)
+
+    rs = np.random.RandomState(0)
+    x = rs.rand(1, 128, 128, 3).astype(np.float32)
+    with torch.no_grad():
+        t_cls, t_box, t_coef, t_proto, t_seg = tmodel(torch.from_numpy(
+            x.transpose(0, 3, 1, 2)))
+    j_cls, j_box, j_coef, j_proto, j_seg = model.apply(
+        {"params": params, "batch_stats": batch_stats}, jnp.asarray(x),
+        train=False)
+    for t_o, j_o in zip(t_cls, j_cls):  # [B,H,W,A,C] both sides
+        np.testing.assert_allclose(np.asarray(j_o), t_o.numpy(),
+                                   atol=2e-3, rtol=1e-3)
+    for t_o, j_o in zip(t_box, j_box):
+        np.testing.assert_allclose(np.asarray(j_o), t_o.numpy(),
+                                   atol=2e-3, rtol=1e-3)
+    for t_o, j_o in zip(t_coef, j_coef):
+        np.testing.assert_allclose(np.asarray(j_o), t_o.numpy(),
+                                   atol=2e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(j_proto), t_proto.numpy(),
+                               atol=2e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(j_seg).transpose(0, 3, 1, 2),
+                               t_seg.numpy(), atol=2e-3, rtol=1e-3)
