@@ -1033,6 +1033,49 @@ def convert_yolact_state_dict(sd):
     return params, stats
 
 
+def convert_universal_segmentation_state_dict(sd):
+    """Reference UniversalSegmentation / UniversalMatting
+    (universal_segmentation/models/dinov3_universal_{segmentation,
+    matting}.py naming: backbone.* DINOv3 ViT, query_embedding,
+    class_pred, query_proj.{0,2,4}, {global_,local_,}upscale_blocks.{i}.
+    {conv1 ConvTranspose2d, conv2 depthwise Conv2d, norm LayerNorm}) ->
+    this framework's universal_segmentation/models.py (query_embedding,
+    class_pred, query_proj_{0,1,2}, {global_,local_,}upscale_{i})."""
+    params = {}
+    backbone_sd = {k[len("backbone."):]: v for k, v in sd.items()
+                   if k.startswith("backbone.")}
+    bp, _ = convert_dinov3_vit_state_dict(backbone_sd)
+    params.update({f"backbone.{k}": v for k, v in bp.items()})
+
+    def put_linear(tp, fp):
+        params[f"{fp}.kernel"] = _linear_w(np.asarray(sd[f"{tp}.weight"]))
+        if f"{tp}.bias" in sd:
+            params[f"{fp}.bias"] = np.asarray(sd[f"{tp}.bias"])
+
+    params["query_embedding"] = np.asarray(sd["query_embedding.weight"])
+    put_linear("class_pred", "class_pred")
+    for i, idx in enumerate((0, 2, 4)):
+        put_linear(f"query_proj.{idx}", f"query_proj_{i}")
+    for tlist, fprefix in (("upscale_blocks", "upscale"),
+                           ("global_upscale_blocks", "global_upscale"),
+                           ("local_upscale_blocks", "local_upscale")):
+        i = 0
+        while f"{tlist}.{i}.conv1.weight" in sd:
+            fb = f"{fprefix}_{i}"
+            params[f"{fb}.conv1.kernel"] = _convtranspose_w(
+                np.asarray(sd[f"{tlist}.{i}.conv1.weight"]))
+            params[f"{fb}.conv1.bias"] = np.asarray(
+                sd[f"{tlist}.{i}.conv1.bias"])
+            params[f"{fb}.conv2.kernel"] = _dw_conv_w(
+                np.asarray(sd[f"{tlist}.{i}.conv2.weight"]))
+            params[f"{fb}.norm.scale"] = np.asarray(
+                sd[f"{tlist}.{i}.norm.weight"])
+            params[f"{fb}.norm.bias"] = np.asarray(
+                sd[f"{tlist}.{i}.norm.bias"])
+            i += 1
+    return params, {}
+
+
 def convert_retinanet_state_dict(sd):
     """Reference full-detector RetinaNet (detection/models/retinanet.py:27-91
     naming: backbone.*, fpn.P{3,4,5}_{1,2}/P6/P7.1, cls_head.cls_head.{2i}/

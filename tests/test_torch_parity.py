@@ -1058,3 +1058,51 @@ def test_yolact_parity_with_reference():
                                atol=2e-3, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(j_seg).transpose(0, 3, 1, 2),
                                t_seg.numpy(), atol=2e-3, rtol=1e-3)
+
+
+def test_universal_segmentation_parity_with_reference():
+    """Universal segmentation converter (task 16): DINOv3-S trunk with
+    in-stream query tokens + ScaleBlock upscaling + dot-product masks,
+    leaf-for-leaf vs the reference UniversalSegmentation."""
+    import torch
+    _torchvision_stub()
+    sys.path.insert(0, REFERENCE)
+    from SimpleAICV.universal_segmentation.models.dinov3_universal_segmentation import (
+        UniversalSegmentation as TorchUS)
+
+    torch.manual_seed(0)
+    tmodel = TorchUS(backbone_type="dinov3_vit_small_patch16_backbone",
+                     image_size=128, query_num=16, num_classes=11,
+                     query_block_nums=4)
+    tmodel.eval()
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+
+    import jax
+    import jax.numpy as jnp
+    from simpleaicv_pytorch_training_examples_tpu.engine import init_model
+    from simpleaicv_pytorch_training_examples_tpu.universal_segmentation.models import (
+        UniversalSegmentation)
+    from simpleaicv_pytorch_training_examples_tpu.utils.torch_convert import (
+        convert_universal_segmentation_state_dict, merge_converted)
+
+    model = UniversalSegmentation("dinov3_vit_small_patch16_backbone",
+                                  image_size=128, query_num=16,
+                                  num_classes=11, query_block_nums=4)
+    params, variables = init_model(model, (1, 128, 128, 3),
+                                   jax.random.PRNGKey(0))
+    p_flat, _ = convert_universal_segmentation_state_dict(sd)
+    tree_paths = {"/".join(p) for p in _flat_paths(params)}
+    missing = [n for n in p_flat if n.replace(".", "/") not in tree_paths]
+    assert not missing, f"unmapped converter keys: {missing[:8]}"
+    params, _ = merge_converted(params, None, p_flat, {})
+
+    rs = np.random.RandomState(0)
+    x = rs.rand(1, 128, 128, 3).astype(np.float32)
+    with torch.no_grad():
+        t_mask, t_cls = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    j_mask, j_cls = model.apply({"params": params, **variables},
+                                jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(j_cls), t_cls.numpy(),
+                               atol=2e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(j_mask), t_mask.numpy(),
+                               atol=5e-3, rtol=1e-3)
