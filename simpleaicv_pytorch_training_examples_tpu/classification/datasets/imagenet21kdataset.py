@@ -91,10 +91,15 @@ class ImageNet21KSemanticTreeLabelDataset:
         return len(self.image_paths)
 
     def __getitem__(self, idx):
-        import cv2
-        data = np.fromfile(self.image_paths[idx], dtype=np.uint8)
-        image = cv2.cvtColor(cv2.imdecode(data, cv2.IMREAD_COLOR),
-                             cv2.COLOR_BGR2RGB)
+        # native libjpeg decode (GIL-free, DCT prescale) with cv2 fallback
+        # for non-JPEG files — same hot path as ilsvrc2012dataset.py:42
+        from ...data.native_jpeg import decode_jpeg
+        image = decode_jpeg(self.image_paths[idx])
+        if image is None:
+            import cv2
+            data = np.fromfile(self.image_paths[idx], dtype=np.uint8)
+            image = cv2.cvtColor(cv2.imdecode(data, cv2.IMREAD_COLOR),
+                                 cv2.COLOR_BGR2RGB)
         sample = {"image": image.astype(np.float32),
                   "label": int(self.labels[idx])}
         if self.transform is not None:

@@ -184,7 +184,15 @@ def bench_e2e(root, batch_size=256, steps=6):
     ds = _dataset(root)
     loader = DataLoader(ds, batch_size, ClassificationCollater(),
                         shuffle=True, num_workers=8)
-    it = iter(loader)
+
+    def batches_forever():
+        epoch = 0
+        while True:
+            loader.set_epoch(epoch)
+            yield from loader
+            epoch += 1
+
+    it = batches_forever()
     batch = next(it)
     jb = {"image": jnp.asarray(batch["image"]),
           "label": jnp.asarray(batch["label"])}
