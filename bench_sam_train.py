@@ -9,6 +9,16 @@ Measured on v5e (bs2), round-3 progression:
                  VMEM kernel on the 8 windowed blocks (the 6-D broadcast
                  bias and its VJP reduction were the bottleneck)
   665.3 ms/step  --xla attention baseline (3.9x vs current flash path)
+
+Round-5 (bs4, NO remat — the headline config):
+  487.7 ms/step  bs8 no-remat (HBM pressure regresses per-image rate)
+  376.6 ms/step  bs6 no-remat (same)
+  229.4 ms/step  bs4 no-remat round-4 shipped config   (mfu 0.2553)
+  188.8 ms/step  + zero-copy packed windowed kernel    (mfu 0.3098)
+                 (fused_attention_relwin_dense: qkv Dense output feeds
+                 the kernel untouched; the [B,N,3,H,D]<->[3,B,H,N,D]
+                 transposes + rel reshapes were ~35 ms/step of device
+                 trace, tools/perf/sam_trace.py)
 `--policy dots_saveable` keeps every dot output in the remat block
 resident (qkv+proj+mlp = 6912 floats/token = ~0.68 GB/img for SAM-B);
 it bought +4.8% on the 250.9 baseline but only 171.3 -> 169.1 once the

@@ -75,8 +75,6 @@ class SAMAttention(nn.Module):
         nh = self.head_nums
         hd = c // nh
         qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(b, h * w, 3, nh, hd).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]  # [B, nh, HW, hd]
 
         rel_pos_h = self.param("rel_pos_h", nn.initializers.zeros,
                                (2 * self.input_size[0] - 1, hd))
@@ -84,6 +82,33 @@ class SAMAttention(nn.Module):
                                (2 * self.input_size[1] - 1, hd))
         rh = get_rel_pos(h, h, rel_pos_h.astype(jnp.float32))  # [h,h,hd]
         rw = get_rel_pos(w, w, rel_pos_w.astype(jnp.float32))
+
+        if self.use_flash and h * w <= 1024 and hd in (64, 128) \
+                and c % 128 == 0:
+            # ZERO-COPY windowed path (round 5): the raw [B, N, 3C] qkv
+            # Dense output feeds the packed rel-pos kernel directly and
+            # the rel terms keep their natural einsum layout — the
+            # [B,N,3,H,D] <-> [3,B,H,N,D] transposes (+ their VJPs +
+            # the rel reshapes) were ~35 ms of the 222 ms bs4 train
+            # step (device trace, tools/perf/sam_trace.py). Numerics
+            # identical to the transposed path (same dots, fp32 bias).
+            from ....ops.pallas.fused_attention import (
+                fused_attention_relwin_dense)
+            n = h * w
+            qkv2 = qkv.reshape(b, n, 3 * c)
+            qh = qkv2[..., :c].reshape(b, h, w, nh, hd).astype(
+                jnp.float32)
+            rel_h = jnp.einsum("bijnd,ikd->bijnk", qh, rh).reshape(
+                b, n, nh, h)
+            rel_w = jnp.einsum("bijnd,jkd->bijnk", qh, rw).reshape(
+                b, n, nh, w)
+            out = fused_attention_relwin_dense(qkv2, rel_h, rel_w, nh,
+                                               force_pallas=True)
+            out = out.reshape(b, h, w, c)
+            return nn.Dense(c, dtype=self.dtype, name="proj")(out)
+
+        qkv = qkv.reshape(b, h * w, 3, nh, hd).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]  # [B, nh, HW, hd]
         rq = q.reshape(b, nh, h, w, hd).astype(jnp.float32)
         rel_h = jnp.einsum("bnhwc,hkc->bnhwk", rq, rh)
         rel_w = jnp.einsum("bnhwc,wkc->bnhwk", rq, rw)

@@ -1015,3 +1015,252 @@ def fused_attention_relwin(q, k, v, rel_h, rel_w, n_real=None,
                         v.reshape(g_total, n, d), rel3,
                         bg, n_real, kh_size, kw_size, interpret)
     return out.reshape(b, h, n, d)
+
+
+# ---------------- packed-qkv decomposed rel-pos windowed variant
+# fused_attention_relwin above still pays the [B,N,3,H,D] -> [3,B,H,N,D]
+# layout copies around the kernel (plus the same again in the VJP, plus
+# the rel reshapes): the round-5 bs4 SAM-B step trace attributes ~35 ms
+# of the 222 ms step to exactly these copies. This variant mirrors
+# fused_attention_dense/_fused_pairs: it reads q/k/v straight from the
+# packed qkv Dense output [B, N, 3C] as 128-lane head-pair tiles (the
+# other head's lanes masked — exact, and contraction-128 dots cost the
+# MXU the same as contraction-64), expands the decomposed rel-pos bias
+# in-kernel from per-head packed rel [B, N, H*(KH+KW)], and emits
+# dqkv/drel already packed.
+
+
+def _fwd_kernel_relwin_pairs(qkv_ref, rel_ref, o_ref, *, c, hpt, n_pad,
+                             kh_size, kw_size, sm_scale):
+    lane = 128
+    qkv = qkv_ref[0]
+    rel = rel_ref[0]  # [n, H*(KH+KW)] fp32
+    rw_ = kh_size + kw_size
+    oh = _win_onehot_comb(kh_size, kw_size, n_pad)  # [KH+KW, n]
+    if hpt == 2:
+        masks = [_mask_pair(n_pad, lane, True),
+                 _mask_pair(n_pad, lane, False)]
+    else:
+        masks = [None]
+    zero = jnp.zeros((), qkv.dtype)
+    for j in range(c // lane):
+        qp = qkv[:, j * lane:(j + 1) * lane]
+        kp = qkv[:, c + j * lane:c + (j + 1) * lane]
+        vp = qkv[:, 2 * c + j * lane:2 * c + (j + 1) * lane]
+        acc = None
+        for idx, m in enumerate(masks):
+            head = j * hpt + idx
+            k_h = kp if m is None else jnp.where(m, kp, zero)
+            r = rel[:, head * rw_:(head + 1) * rw_]
+            bias = jax.lax.dot_general(
+                r, oh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            s = jax.lax.dot_general(
+                qp, k_h, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * sm_scale + bias
+            mx = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - mx)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            p = (p / l).astype(qp.dtype)
+            v_h = vp if m is None else jnp.where(m, vp, zero)
+            o = jax.lax.dot_general(
+                p, v_h, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc = o if acc is None else acc + o
+        o_ref[0, :, j * lane:(j + 1) * lane] = acc.astype(o_ref.dtype)
+
+
+def _bwd_kernel_relwin_pairs(qkv_ref, rel_ref, do_ref, dqkv_ref, drel_ref,
+                             *, c, hpt, n_pad, kh_size, kw_size, sm_scale):
+    lane = 128
+    qkv = qkv_ref[0]
+    rel = rel_ref[0]
+    do_full = do_ref[0]
+    rw_ = kh_size + kw_size
+    oh = _win_onehot_comb(kh_size, kw_size, n_pad)
+    if hpt == 2:
+        masks = [_mask_pair(n_pad, lane, True),
+                 _mask_pair(n_pad, lane, False)]
+    else:
+        masks = [None]
+    zero = jnp.zeros((), qkv.dtype)
+    for j in range(c // lane):
+        sl = slice(j * lane, (j + 1) * lane)
+        qp = qkv[:, sl]
+        kp = qkv[:, c + j * lane:c + (j + 1) * lane]
+        vp = qkv[:, 2 * c + j * lane:2 * c + (j + 1) * lane]
+        do_p = do_full[:, sl]
+        dq = dk = dv = None
+        for idx, m in enumerate(masks):
+            head = j * hpt + idx
+            k_h = kp if m is None else jnp.where(m, kp, zero)
+            do_h = do_p if m is None else jnp.where(m, do_p, zero)
+            q_h = qp if m is None else jnp.where(m, qp, zero)
+            r = rel[:, head * rw_:(head + 1) * rw_]
+            bias = jax.lax.dot_general(
+                r, oh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            s = jax.lax.dot_general(
+                qp, k_h, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * sm_scale + bias
+            mx = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - mx)
+            l = jnp.sum(e, axis=-1, keepdims=True)
+            p = e / l
+            pb = p.astype(qp.dtype)
+            dv_h = jax.lax.dot_general(
+                pb, do_h, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dp = jax.lax.dot_general(
+                do_h, vp, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            row = jnp.sum(dp * p, axis=-1, keepdims=True)
+            ds0f = p * (dp - row)  # fp32, UNSCALED = d/dbias
+            drel_ref[0, :, head * rw_:(head + 1) * rw_] = \
+                jax.lax.dot_general(
+                    ds0f, oh, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(
+                        drel_ref.dtype)
+            ds = (ds0f * sm_scale).astype(qp.dtype)
+            dq_h = jax.lax.dot_general(
+                ds, k_h, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dk_h = jax.lax.dot_general(
+                ds, q_h, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dq = dq_h if dq is None else dq + dq_h
+            dk = dk_h if dk is None else dk + dk_h
+            dv = dv_h if dv is None else dv + dv_h
+        dqkv_ref[0, :, sl] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, c + j * lane:c + (j + 1) * lane] = \
+            dk.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, 2 * c + j * lane:2 * c + (j + 1) * lane] = \
+            dv.astype(dqkv_ref.dtype)
+
+
+def _pallas_fwd_relwin_pairs(qkv, rel, c, hpt, kh_size, kw_size,
+                             sm_scale, interpret):
+    b, n, c3 = qkv.shape
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_relwin_pairs, c=c, hpt=hpt, n_pad=n,
+                          kh_size=kh_size, kw_size=kw_size,
+                          sm_scale=sm_scale),
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, n, c3), lambda i: (i, 0, 0)),
+                  pl.BlockSpec((1, n, rel.shape[-1]),
+                               lambda i: (i, 0, 0))],
+        out_specs=pl.BlockSpec((1, n, c), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n, c), qkv.dtype),
+        interpret=interpret,
+    )(qkv, rel)
+
+
+def _pallas_bwd_relwin_pairs(qkv, rel, do3, c, hpt, kh_size, kw_size,
+                             sm_scale, interpret):
+    b, n, c3 = qkv.shape
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel_relwin_pairs, c=c, hpt=hpt, n_pad=n,
+                          kh_size=kh_size, kw_size=kw_size,
+                          sm_scale=sm_scale),
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, n, c3), lambda i: (i, 0, 0)),
+                  pl.BlockSpec((1, n, rel.shape[-1]),
+                               lambda i: (i, 0, 0)),
+                  pl.BlockSpec((1, n, c), lambda i: (i, 0, 0))],
+        out_specs=[pl.BlockSpec((1, n, c3), lambda i: (i, 0, 0)),
+                   pl.BlockSpec((1, n, rel.shape[-1]),
+                                lambda i: (i, 0, 0))],
+        out_shape=[jax.ShapeDtypeStruct(qkv.shape, qkv.dtype),
+                   jax.ShapeDtypeStruct(rel.shape, rel.dtype)],
+        interpret=interpret,
+    )(qkv, rel, do3)
+
+
+def _relwin_pairs_fwd_factory(params):
+    c, hpt, kh_size, kw_size, interpret = params
+
+    def fn(qkv, rel):
+        sm_scale = (128 // hpt) ** -0.5
+        return _pallas_fwd_relwin_pairs(qkv, rel, c, hpt, kh_size,
+                                        kw_size, sm_scale, interpret)
+    return fn
+
+
+def _relwin_pairs_bwd_factory(params):
+    c, hpt, kh_size, kw_size, interpret = params
+
+    def fn(qkv, rel, do3):
+        sm_scale = (128 // hpt) ** -0.5
+        return _pallas_bwd_relwin_pairs(qkv, rel, do3, c, hpt, kh_size,
+                                        kw_size, sm_scale, interpret)
+    return fn
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _fused_relwin_pairs(qkv, rel, c, hpt, kh_size, kw_size, interpret):
+    from .partitioning import cached_axis0
+    fn = cached_axis0(_relwin_pairs_fwd_factory,
+                      (c, hpt, kh_size, kw_size, interpret),
+                      "b n q, b n r -> b n c")
+    return fn(qkv, rel)
+
+
+def _fused_relwin_pairs_fwd(qkv, rel, c, hpt, kh_size, kw_size,
+                            interpret):
+    out = _fused_relwin_pairs(qkv, rel, c, hpt, kh_size, kw_size,
+                              interpret)
+    return out, (qkv, rel)
+
+
+def _fused_relwin_pairs_bwd(c, hpt, kh_size, kw_size, interpret, res,
+                            g_out):
+    qkv, rel = res
+    from .partitioning import cached_axis0
+    fn = cached_axis0(_relwin_pairs_bwd_factory,
+                      (c, hpt, kh_size, kw_size, interpret),
+                      "b n q, b n r, b n c -> b n q, b n r")
+    dqkv, drel = fn(qkv, rel, g_out.astype(qkv.dtype))
+    return dqkv, drel
+
+
+_fused_relwin_pairs.defvjp(_fused_relwin_pairs_fwd,
+                           _fused_relwin_pairs_bwd)
+
+
+def fused_attention_relwin_dense(qkv, rel_h, rel_w, head_nums,
+                                 force_pallas=False, interpret=False):
+    """Zero-copy windowed rel-pos attention straight over the fused-qkv
+    Dense output.
+
+    qkv [B, N, 3C] (column order [3, H, D]); rel_h [B, N, H, KH] and
+    rel_w [B, N, H, KW] fp32 (q-contracted decomposed terms in their
+    natural einsum layout) with N == KH * KW; returns [B, N, C]. Exact
+    same numerics as fused_attention_relwin; no layout copy touches the
+    qkv/out tensors, and dqkv/drel come back packed. Head dim must be 64
+    or 128 for the pallas path; off-TPU falls back to the XLA
+    composition."""
+    b, n, c3 = qkv.shape
+    c = c3 // 3
+    d = c // head_nums
+    kh_size = rel_h.shape[-1]
+    kw_size = rel_w.shape[-1]
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    use_pallas = (interpret or
+                  (force_pallas and on_tpu and d in (64, 128)
+                   and n <= 1024 and n == kh_size * kw_size))
+    if not use_pallas:
+        qkv5 = qkv.reshape(b, n, 3, head_nums, d)
+        q, k, v = (qkv5[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+        bias = (rel_h[..., :, None] + rel_w[..., None, :]).reshape(
+            b, n, head_nums, kh_size * kw_size)[..., :n]
+        bias = bias.transpose(0, 2, 1, 3)  # [B, H, N, N]
+        out = _reference_bias(q, k, v, bias, None)
+        return out.transpose(0, 2, 1, 3).reshape(b, n, c)
+
+    rel = jnp.concatenate([rel_h.astype(jnp.float32),
+                           rel_w.astype(jnp.float32)],
+                          axis=-1).reshape(b, n,
+                                           head_nums * (kh_size + kw_size))
+    hpt = 128 // d
+    return _fused_relwin_pairs(qkv, rel, c, hpt, kh_size, kw_size,
+                               interpret)

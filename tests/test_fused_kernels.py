@@ -571,3 +571,52 @@ def test_fused_attention_relwin_interpret_exact():
         np.testing.assert_allclose(np.asarray(gg), np.asarray(gw),
                                    atol=3e-5, rtol=1e-4,
                                    err_msg=f"d{name}")
+
+
+def test_fused_attention_relwin_dense_interpret_exact():
+    """Packed zero-copy windowed rel-pos kernel == materialized-bias
+    reference (fwd + dqkv/drel gradients), interpret mode. d=64 exercises
+    the head-pair lane masking; qkv/rel arrive packed as in SAMAttention's
+    round-5 windowed path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from simpleaicv_pytorch_training_examples_tpu.ops.pallas.fused_attention import (
+        fused_attention_relwin_dense)
+
+    kh, kw, nh, d = 3, 4, 2, 64
+    b, n, c = 2, kh * kw, nh * d
+    rs = np.random.RandomState(0)
+    qkv = jnp.asarray(rs.randn(b, n, 3 * c), jnp.float32)
+    rel_h = jnp.asarray(rs.randn(b, n, nh, kh), jnp.float32)
+    rel_w = jnp.asarray(rs.randn(b, n, nh, kw), jnp.float32)
+
+    def ref(qkv, rel_h, rel_w):
+        qkv5 = qkv.reshape(b, n, 3, nh, d)
+        q, k, v = (qkv5[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+        bias = (rel_h[..., :, None] + rel_w[..., None, :]).reshape(
+            b, n, nh, n).transpose(0, 2, 1, 3)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (d ** -0.5) + bias
+        p = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", p, v)
+        return out.transpose(0, 2, 1, 3).reshape(b, n, c)
+
+    got = fused_attention_relwin_dense(qkv, rel_h, rel_w, nh,
+                                       interpret=True)
+    want = ref(qkv, rel_h, rel_w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-5)
+
+    def loss(fn, *args):
+        return (fn(*args) ** 2).mean()
+
+    g_got = jax.grad(lambda *a: loss(
+        lambda *x: fused_attention_relwin_dense(*x, nh, interpret=True),
+        *a), argnums=(0, 1, 2))(qkv, rel_h, rel_w)
+    g_want = jax.grad(lambda *a: loss(ref, *a),
+                      argnums=(0, 1, 2))(qkv, rel_h, rel_w)
+    for gg, gw, name in zip(g_got, g_want, "qkv rel_h rel_w".split()):
+        np.testing.assert_allclose(np.asarray(gg), np.asarray(gw),
+                                   atol=3e-5, rtol=1e-4,
+                                   err_msg=f"d{name}")
