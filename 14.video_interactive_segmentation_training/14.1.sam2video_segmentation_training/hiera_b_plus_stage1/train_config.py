@@ -38,7 +38,12 @@ class config:
                                        # decoder upscaling (reference
                                        # conv_s0/conv_s1)
                                        use_high_res_features=True,
-                                       use_scan=True)
+                                       use_scan=True,
+                                       # keep param shapes identical to
+                                       # the later flash stages (qkv/proj
+                                       # head width 64; exact, see
+                                       # MultiScaleAttention)
+                                       head_dim_padding=64)
 
     trained_model_path = ""
     load_state_dict(trained_model_path, model)

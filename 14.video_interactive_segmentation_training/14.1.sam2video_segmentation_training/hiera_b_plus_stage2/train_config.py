@@ -46,6 +46,7 @@ class config:
                                        # memory (TPU only; auto-fallback
                                        # elsewhere)
                                        use_flash_attention=True,
+                                       head_dim_padding=64,
                                        memory_cond_slots=2)
 
     # resume from the previous stage checkpoint

@@ -35,6 +35,7 @@ class config:
         image_size=input_image_size, use_gradient_checkpoint=True,
         # fused pallas memory attention: 1.3-1.6x over XLA at d=256 + O(N) score memory
         use_flash_attention=True,
+                                       head_dim_padding=64,
         memory_cond_slots=2)
 
     trained_model_path = ""

@@ -33,6 +33,7 @@ def bench_sam2_train(use_flash=True, frames=4, bs=1, use_remat=True):
     model = sam2_hiera_base_plus_video(
         image_size=1024, use_gradient_checkpoint=use_remat, use_scan=True,
         use_high_res_features=True, use_flash_attention=use_flash,
+        head_dim_padding=64 if use_flash else 0,
         memory_cond_slots=2, dtype=jnp.bfloat16)
 
     class cfg:
@@ -101,6 +102,7 @@ def bench_encoder(frames=4, bs=1, use_flash=True, bwd_only=False):
     model = sam2_hiera_base_plus_video(
         image_size=1024, use_gradient_checkpoint=True, use_scan=True,
         use_high_res_features=True, use_flash_attention=use_flash,
+        head_dim_padding=64 if use_flash else 0,
         memory_cond_slots=2, dtype=jnp.bfloat16)
     rs = np.random.RandomState(0)
     x = jnp.asarray(rs.rand(bs * frames, 1024, 1024, 3), jnp.float32)

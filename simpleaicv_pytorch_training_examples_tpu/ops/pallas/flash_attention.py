@@ -308,7 +308,7 @@ def _round_up(x, m):
 
 def flash_attention(q, k, v, bias=None,
                     block_q=DEFAULT_BLOCK_Q, block_k=DEFAULT_BLOCK_K,
-                    force_pallas=False):
+                    force_pallas=False, sm_scale=None):
     """[B, H, N, D] attention with optional per-key bias [B, N_k].
 
     On TPU with force_pallas=True (or via use_flash_attention model
@@ -320,13 +320,17 @@ def flash_attention(q, k, v, bias=None,
     n_k = k.shape[2]
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
     if not (force_pallas and on_tpu and d <= 256):
+        if sm_scale is not None:  # padded heads keep the REAL scale
+            q = q * (sm_scale * d ** 0.5)
         return _attention_reference(q, k, v, bias)
 
     # softmax scale from the ORIGINAL head dim; odd widths (e.g. Hiera's
     # d=56) are zero-padded to a lane-friendly multiple of 64 — exact:
     # zero dims add nothing to the logits and the padded V columns are
-    # sliced off the output.
-    sm_scale = d**-0.5
+    # sliced off the output. sm_scale overrides for parameter-level
+    # padded heads (the logical head dim differs from d).
+    if sm_scale is None:
+        sm_scale = d**-0.5
     d_pad = _round_up(d, 64) - d
 
     block_q = min(block_q, _round_up(n_q, 128))

@@ -563,40 +563,40 @@ def _pallas_bwd_pairs(qkv, do3, c, hpt, n_real, sm_scale, interpret):
 
 
 def _pairs_fwd_factory(params):
-    c, hpt, n_real, interpret = params
+    c, hpt, n_real, interpret, sm_scale = params
 
     def fn(qkv):
-        sm_scale = (128 // hpt) ** -0.5
         return _pallas_fwd_pairs(qkv, c, hpt, n_real, sm_scale, interpret)
     return fn
 
 
 def _pairs_bwd_factory(params):
-    c, hpt, n_real, interpret = params
+    c, hpt, n_real, interpret, sm_scale = params
 
     def fn(qkv, do3):
-        sm_scale = (128 // hpt) ** -0.5
         return _pallas_bwd_pairs(qkv, do3, c, hpt, n_real, sm_scale,
                                  interpret)
     return fn
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
-def _fused_pairs(qkv, c, hpt, n_real, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
+def _fused_pairs(qkv, c, hpt, n_real, interpret, sm_scale):
     from .partitioning import cached_axis0
-    fn = cached_axis0(_pairs_fwd_factory, (c, hpt, n_real, interpret),
+    fn = cached_axis0(_pairs_fwd_factory,
+                      (c, hpt, n_real, interpret, sm_scale),
                       "b n q -> b n c")
     return fn(qkv)
 
 
-def _fused_pairs_fwd(qkv, c, hpt, n_real, interpret):
-    return _fused_pairs(qkv, c, hpt, n_real, interpret), (qkv,)
+def _fused_pairs_fwd(qkv, c, hpt, n_real, interpret, sm_scale):
+    return _fused_pairs(qkv, c, hpt, n_real, interpret, sm_scale), (qkv,)
 
 
-def _fused_pairs_bwd(c, hpt, n_real, interpret, res, g_out):
+def _fused_pairs_bwd(c, hpt, n_real, interpret, sm_scale, res, g_out):
     (qkv,) = res
     from .partitioning import cached_axis0
-    fn = cached_axis0(_pairs_bwd_factory, (c, hpt, n_real, interpret),
+    fn = cached_axis0(_pairs_bwd_factory,
+                      (c, hpt, n_real, interpret, sm_scale),
                       "b n q, b n c -> b n q")
     dqkv = fn(qkv, g_out.astype(qkv.dtype))
     return (dqkv,)
@@ -606,7 +606,8 @@ _fused_pairs.defvjp(_fused_pairs_fwd, _fused_pairs_bwd)
 
 
 def fused_attention_dense(qkv, head_nums, n_real=None,
-                          force_pallas=False, interpret=False):
+                          force_pallas=False, interpret=False,
+                          sm_scale=None):
     """Self-attention straight over the fused-qkv Dense output [B, N, 3C]
     (column order [3, H, D], i.e. reshape(B,N,3,H,D)-compatible); returns
     [B, N, C]. Head dim must be 64 or 128 for the pallas path (lane-tile
@@ -621,6 +622,8 @@ def fused_attention_dense(qkv, head_nums, n_real=None,
     if not use_pallas or d not in (64, 128):
         qkv5 = qkv.reshape(b, n, 3, head_nums, d)
         q, k, v = (qkv5[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+        if sm_scale is not None:  # e.g. padded heads keep the REAL scale
+            q = q * (sm_scale * d ** 0.5)
         out = _reference(q, k, v,
                          n_real if n_real is not None and n_real < n
                          else None)
@@ -628,7 +631,9 @@ def fused_attention_dense(qkv, head_nums, n_real=None,
 
     n_real = n if n_real is None else min(n_real, n)
     hpt = 128 // d
-    return _fused_pairs(qkv, c, hpt, n_real, interpret)
+    if sm_scale is None:
+        sm_scale = (128 // hpt) ** -0.5
+    return _fused_pairs(qkv, c, hpt, n_real, interpret, float(sm_scale))
 
 
 # ------------------------------------------------- packed-qkv variant

@@ -365,7 +365,29 @@ def convert_sam_encoder_state_dict(sd):
     return params, {}
 
 
-def convert_sam2_encoder_state_dict(sd):
+def _pad_attn_head_params(params, prefix, hd, hdp):
+    """Zero-pad one attention module's qkv/proj param slices from hd to
+    hdp per head (Hiera head_dim_padding; see
+    video_interactive_segmentation/.../image_encoder.py
+    ::MultiScaleAttention). Zero pads are EXACT: padded q/k dims add 0
+    to the logits and padded v columns feed zero proj rows."""
+    w = params[f"{prefix}.qkv.kernel"]
+    c_in, out = w.shape
+    nh = out // (3 * hd)
+    w = w.reshape(c_in, 3, nh, hd)
+    params[f"{prefix}.qkv.kernel"] = np.pad(
+        w, ((0, 0), (0, 0), (0, 0), (0, hdp - hd))).reshape(
+            c_in, 3 * nh * hdp)
+    b = params[f"{prefix}.qkv.bias"].reshape(3, nh, hd)
+    params[f"{prefix}.qkv.bias"] = np.pad(
+        b, ((0, 0), (0, 0), (0, hdp - hd))).reshape(3 * nh * hdp)
+    p = params[f"{prefix}.proj.kernel"]
+    p = p.reshape(nh, hd, -1)
+    params[f"{prefix}.proj.kernel"] = np.pad(
+        p, ((0, 0), (0, hdp - hd), (0, 0))).reshape(nh * hdp, -1)
+
+
+def convert_sam2_encoder_state_dict(sd, head_dim_padding=0):
     """Reference SAM2 Hiera image encoder (video_interactive_segmentation/
     models/segment_anything2/image_encoder.py naming: trunk.pos_embed
     (NCHW) / trunk.patch_embed.proj / trunk.blocks.N.{norm1,attn.{qkv,
@@ -421,6 +443,14 @@ def convert_sam2_encoder_state_dict(sd):
         params[f"conv{i}.kernel"] = _conv_w(w)
         params[f"conv{i}.bias"] = np.asarray(
             sd[f"neck.convs.{i}.conv.bias"])
+
+    if head_dim_padding:
+        # Hiera's per-head width is planes // head_nums = 56 at every
+        # stage; zero-pad each block's qkv/proj slices to the target
+        # model's head_dim_padding (exact — see _pad_attn_head_params)
+        for i in range(n_blocks):
+            _pad_attn_head_params(params, f"trunk.block_{i}.attn", 56,
+                                  head_dim_padding)
     return params, {}
 
 
@@ -594,7 +624,7 @@ def _convtranspose_w(w):
         np.transpose(w, (2, 3, 0, 1))[::-1, ::-1])
 
 
-def convert_sam2_state_dict(sd):
+def convert_sam2_state_dict(sd, head_dim_padding=0):
     """Full reference SAM2 video checkpoint -> this framework's SAM2Video
     tree: image encoder (via convert_sam2_encoder_state_dict) + prompt
     encoder + mask decoder + memory attention + memory encoder + object
@@ -611,7 +641,8 @@ def convert_sam2_state_dict(sd):
     which is initialized but never read in the reference forward.
     """
     params, constants = {}, {}
-    enc_params, _ = convert_sam2_encoder_state_dict(sd)
+    enc_params, _ = convert_sam2_encoder_state_dict(
+        sd, head_dim_padding=head_dim_padding)
     for k, v in enc_params.items():
         params[f"image_encoder.{k}"] = v
 

@@ -24,45 +24,81 @@ _FLASH_MIN_KV = 1024
 
 
 class MultiScaleAttention(nn.Module):
+    """Hiera attention, optionally with PADDED head params.
+
+    head_dim_padding > 0 widens every head's qkv/proj parameter slice
+    from the logical hd = planes // head_nums (56 for every Hiera stage)
+    to head_dim_padding physical dims (64). Semantics: with the pad
+    columns zero (the converter writes zeros for published checkpoints,
+    utils/torch_convert.py) the attention is EXACT — zero q/k dims add
+    nothing to the logits (the softmax scale stays hd^-0.5), and the
+    padded v columns feed zero proj rows. For from-scratch training the
+    pads are just extra capacity. Why: 64-wide heads are 128-lane
+    alignable, so the non-pooled windowed blocks run the ZERO-COPY
+    packed kernel (fused_attention_dense) straight off the qkv Dense
+    output — the round-5 SAM2 device trace showed ~35 ms/step of qkv
+    layout copies around the transposed kernels — and the global blocks
+    stop paying flash_attention's per-call activation pad of d 56->64.
+    """
     planes: int
     head_nums: int
     pool_stride: int = 0
     use_flash: bool = False
+    head_dim_padding: int = 0
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         b, h, w, _ = x.shape
         nh = self.head_nums
-        hd = self.planes // nh
-        qkv = nn.Dense(3 * self.planes, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(b, h * w, 3, nh, hd)
+        hd = self.planes // nh            # logical width (softmax scale)
+        hdp = max(self.head_dim_padding, hd)  # physical param width
+        sm_scale = hd ** -0.5
+        qkv = nn.Dense(3 * nh * hdp, dtype=self.dtype, name="qkv")(x)
+
+        if self.use_flash and not self.pool_stride and \
+                h * w <= 1024 and hdp in (64, 128):
+            # ZERO-COPY windowed path: raw [B, N, 3C'] qkv feeds the
+            # packed head-pair kernel; dqkv comes back packed.
+            from ....ops.pallas.fused_attention import (
+                fused_attention_dense)
+            out = fused_attention_dense(
+                qkv.reshape(b, h * w, 3 * nh * hdp), nh,
+                force_pallas=True, sm_scale=sm_scale)
+            out = out.reshape(b, h, w, nh * hdp)
+            return nn.Dense(self.planes, dtype=self.dtype,
+                            name="proj")(out)
+
+        qkv = qkv.reshape(b, h * w, 3, nh, hdp)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         if self.pool_stride:
             s = self.pool_stride
-            q = q.reshape(b, h, w, nh * hd)
+            q = q.reshape(b, h, w, nh * hdp)
             q = nn.max_pool(q, (s, s), strides=(s, s))
             h, w = q.shape[1], q.shape[2]
-            q = q.reshape(b, h * w, nh, hd)
+            q = q.reshape(b, h * w, nh, hdp)
         if self.use_flash and k.shape[1] >= _FLASH_MIN_KV:
             # global-attention blocks (4096 tokens at 1024^2): the fused
             # pallas kernel streams K/V through VMEM so the [b, nh, 4096,
-            # 4096] score matrix never reaches HBM in fwd OR bwd. Hiera's
+            # 4096] score matrix never reaches HBM in fwd OR bwd. Unpadded
             # d=56 heads are zero-padded to 64 inside flash_attention
-            # (exact).
+            # (exact; head_dim_padding=64 skips that per-call pad).
             from ....ops.pallas.flash_attention import flash_attention
             out = flash_attention(q.transpose(0, 2, 1, 3),
                                   k.transpose(0, 2, 1, 3),
                                   v.transpose(0, 2, 1, 3),
-                                  force_pallas=True)
+                                  force_pallas=True, sm_scale=sm_scale)
             out = out.transpose(0, 2, 1, 3)
         elif self.use_flash and not self.pool_stride and \
-                k.shape[1] <= 1024 and hd <= 128:
+                k.shape[1] <= 1024 and hdp <= 128:
             # non-pooled windowed blocks (<=196 tokens): whole-window
             # in-VMEM fused attention — probs never reach HBM in fwd or
             # the remat'd bwd (ops/pallas/fused_attention.py)
             from ....ops.pallas.fused_attention import fused_attention
-            out = fused_attention(q.transpose(0, 2, 1, 3),
+            qt = q.transpose(0, 2, 1, 3)
+            if hdp != hd:  # rescale so the kernel's hdp^-0.5 nets hd^-0.5
+                qt = qt * (sm_scale * hdp ** 0.5)
+            out = fused_attention(qt,
                                   k.transpose(0, 2, 1, 3),
                                   v.transpose(0, 2, 1, 3),
                                   force_pallas=True)
@@ -70,10 +106,10 @@ class MultiScaleAttention(nn.Module):
         else:
             attn = jnp.einsum(
                 "bqhd,bkhd->bhqk", q, k,
-                preferred_element_type=jnp.float32) * (hd**-0.5)
+                preferred_element_type=jnp.float32) * sm_scale
             attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
             out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
-        out = out.reshape(b, h, w, self.planes)
+        out = out.reshape(b, h, w, nh * hdp)
         return nn.Dense(self.planes, dtype=self.dtype, name="proj")(out)
 
 
@@ -85,6 +121,7 @@ class MultiScaleBlock(nn.Module):
     window_size: int = 0
     use_flash: bool = False
     dtype: Any = jnp.float32
+    head_dim_padding: int = 0
 
     @nn.compact
     def __call__(self, x):
@@ -103,6 +140,7 @@ class MultiScaleBlock(nn.Module):
             x, pad_hw = window_partition(x, window_size)
         x = MultiScaleAttention(self.planes, self.head_nums,
                                 self.pool_stride, self.use_flash,
+                                self.head_dim_padding,
                                 self.dtype, name="attn")(x)
         if self.pool_stride:
             window_size = self.window_size // self.pool_stride
@@ -134,6 +172,7 @@ class Hiera(nn.Module):
     use_gradient_checkpoint: bool = False
     use_flash_attention: bool = False
     dtype: Any = jnp.float32
+    head_dim_padding: int = 0
 
     @nn.compact
     def __call__(self, x):
@@ -178,6 +217,7 @@ class Hiera(nn.Module):
             x = block_cls(out_planes, block_heads, 4.0,
                           2 if i in pool_block_idxs else 0, window_size,
                           self.use_flash_attention, self.dtype,
+                          head_dim_padding=self.head_dim_padding,
                           name=f"block_{i}")(x)
             planes, head_nums = out_planes, block_heads
             if i in stage_end_idxs:
@@ -216,6 +256,7 @@ class ImageEncoder(nn.Module):
     use_gradient_checkpoint: bool = False
     use_flash_attention: bool = False
     dtype: Any = jnp.float32
+    head_dim_padding: int = 0
 
     @nn.compact
     def __call__(self, x):
@@ -226,6 +267,7 @@ class ImageEncoder(nn.Module):
                       self.global_attention_blocks,
                       self.use_gradient_checkpoint,
                       self.use_flash_attention, self.dtype,
+                      head_dim_padding=self.head_dim_padding,
                       name="trunk")(x)
         x0, x1, x2, x3 = feats
         conv = lambda name: nn.Conv(self.fpn_planes, (1, 1),

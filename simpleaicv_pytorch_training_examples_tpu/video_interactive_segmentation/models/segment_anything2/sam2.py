@@ -159,6 +159,13 @@ class SAM2Video(nn.Module):
     # mask_decoder.py conv_s0/conv_s1 — always on in the reference; off by
     # default here to keep the lean decode path, on in the 14.* configs)
     use_high_res_features: bool = False
+    # widen every Hiera head's qkv/proj PARAMS from the logical d=56 to
+    # this physical width (64): 128-lane alignable heads run the
+    # zero-copy packed windowed kernel and skip flash's per-call d-pad.
+    # EXACT for converted checkpoints (the converter zero-fills the pads,
+    # utils/torch_convert.py); extra capacity for from-scratch training.
+    # 0 = reference-exact param shapes.
+    head_dim_padding: int = 0
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -178,7 +185,8 @@ class SAM2Video(nn.Module):
                 fpn_planes=self.fpn_planes,
                 use_gradient_checkpoint=self.use_gradient_checkpoint,
                 use_flash_attention=self.use_flash_attention,
-                dtype=self.dtype)
+                dtype=self.dtype,
+                head_dim_padding=self.head_dim_padding)
         self.prompt_encoder = PromptEncoder(
             image_size=self.image_size, patch_size=16,
             embedding_planes=self.fpn_planes, dtype=self.dtype)

@@ -620,3 +620,60 @@ def test_fused_attention_relwin_dense_interpret_exact():
         np.testing.assert_allclose(np.asarray(gg), np.asarray(gw),
                                    atol=3e-5, rtol=1e-4,
                                    err_msg=f"d{name}")
+
+
+def test_hiera_head_dim_padding_exact():
+    """head_dim_padding=64 with zero-padded params == the unpadded d=56
+    Hiera bit-for-bit (fp32, CPU): zero q/k dims add nothing to logits at
+    the preserved 56^-0.5 scale, padded v columns feed zero proj rows."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from simpleaicv_pytorch_training_examples_tpu.video_interactive_segmentation.models.segment_anything2.image_encoder import (
+        Hiera)
+
+    kwargs = dict(embedding_planes=112, head_nums=2, block_nums=(1, 1, 2, 1),
+                  global_attention_blocks=(3,),
+                  window_specification=(8, 4, 14, 7))
+    m0 = Hiera(**kwargs)
+    m1 = Hiera(**kwargs, head_dim_padding=64)
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.rand(1, 128, 128, 3), jnp.float32)
+    v0 = m0.init(jax.random.PRNGKey(0), x)
+
+    def pad_tree(params):
+        import copy
+        out = copy.deepcopy(jax.tree.map(np.asarray, params))
+        for name, block in out.items():
+            if not name.startswith("block_"):
+                continue
+            attn = block["attn"]
+            w = attn["qkv"]["kernel"]
+            c_in, o = w.shape
+            nh = o // (3 * 56)
+            attn["qkv"]["kernel"] = np.pad(
+                w.reshape(c_in, 3, nh, 56),
+                ((0, 0), (0, 0), (0, 0), (0, 8))).reshape(c_in, -1)
+            attn["qkv"]["bias"] = np.pad(
+                attn["qkv"]["bias"].reshape(3, nh, 56),
+                ((0, 0), (0, 0), (0, 8))).reshape(-1)
+            attn["proj"]["kernel"] = np.pad(
+                attn["proj"]["kernel"].reshape(nh, 56, -1),
+                ((0, 0), (0, 8), (0, 0))).reshape(nh * 64, -1)
+        return out
+
+    v1 = {"params": pad_tree(v0["params"])}
+    # shape check vs a fresh padded init
+    ref_shapes = jax.tree.map(lambda a: a.shape,
+                              m1.init(jax.random.PRNGKey(0), x)["params"])
+    got_shapes = jax.tree.map(lambda a: a.shape, v1["params"])
+    assert ref_shapes == got_shapes
+
+    o0 = m0.apply(v0, x)
+    o1 = m1.apply(v1, x)
+    for a, b in zip(o0, o1):
+        # exact up to reduction-tree float noise: the wider (64 vs 56)
+        # contraction changes XLA's summation order (measured <= 4e-6)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=0)
