@@ -15,6 +15,7 @@ Usage: python bench_sam2_train.py [--xla] [--frames 4]
 """
 
 import argparse
+import functools
 import time
 
 
@@ -67,7 +68,9 @@ def bench_sam2_train(use_flash=True, frames=4, bs=1, use_remat=True):
         is_cond_frame=batch["is_cond_frame"][0]))
     params = variables.pop("params")
 
-    @jax.jit
+    # donate params: grads share the param tree structure so XLA reuses
+    # the buffers (the production engine step donates too, engine.py)
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(params, variables, batch):
         (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, variables, batch, jax.random.PRNGKey(1))
@@ -78,9 +81,13 @@ def bench_sam2_train(use_flash=True, frames=4, bs=1, use_remat=True):
     float(loss)
     compile_s = time.perf_counter() - tc  # trace+lower+compile+1st step
     iters = 5
+    # rebind the donated argument each iteration (grads share the param
+    # tree, so the timing loop is a realistic donated update chain)
+    params = grads
     t0 = time.perf_counter()
     for _ in range(iters):
         loss, grads = step(params, variables, batch)
+        params = grads
     float(loss)
     return (time.perf_counter() - t0) / iters * 1000, compile_s
 

@@ -205,6 +205,18 @@ def _bwd_fused_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
 
 def _flash_backward(q, k, v, bias, out, lse, g_out, block_q, block_k,
                     sm_scale):
+    """Single fused backward: dq accumulates in fp32 VMEM scratch; dk/dv
+    are written as [g, n_qb, n_k, d] per-q-block partials in k.dtype and
+    summed by XLA outside (the fp32 sum upcasts).
+
+    Precision note (ADVICE r4): rounding each partial to bf16 before the
+    fp32 sum adds n_qb (=4 at SAM-B shapes) intermediate roundings vs a
+    full-fp32 VMEM accumulation — worst case ~n_qb ulps of bf16, inside
+    the 5e-2 grad-parity tolerance the kernel tests assert
+    (tests/test_flash_attention.py) and far below bf16 training noise.
+    fp32 partials would halve the rounding steps at 2x the partial-buffer
+    HBM traffic ([g, n_qb, n_k, d] x2 tensors); measured round 4, the
+    bf16 variant is the faster end-to-end step, so it ships."""
     g, n_q, d = q.shape
     n_k = k.shape[1]
     n_qb = n_q // block_q
