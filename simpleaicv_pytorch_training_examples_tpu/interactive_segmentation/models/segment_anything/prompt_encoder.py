@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from ....models.common import PatchEmbed
 from .image_encoder import LayerNorm2d
 
 
@@ -66,11 +67,14 @@ class PromptEncoder(nn.Module):
         self.no_mask_embed = self.param("no_mask_embed", init,
                                         (1, self.embedding_planes))
         q = self.mask_inter_planes
-        self.mask_conv1 = nn.Conv(q // 4, (2, 2), strides=(2, 2),
-                                  dtype=self.dtype, name="mask_conv1")
+        # reshape+dot form of nn.Conv(c,(2,2),s2) — non-overlapping, so
+        # PatchEmbed(p=2) is numerically identical with the same param
+        # tree; avoids 1->4->16-channel convolutions on the mask grid
+        self.mask_conv1 = PatchEmbed(q // 4, 2, dtype=self.dtype,
+                                     name="mask_conv1")
         self.mask_ln1 = LayerNorm2d(name="mask_ln1")
-        self.mask_conv2 = nn.Conv(q, (2, 2), strides=(2, 2),
-                                  dtype=self.dtype, name="mask_conv2")
+        self.mask_conv2 = PatchEmbed(q, 2, dtype=self.dtype,
+                                     name="mask_conv2")
         self.mask_ln2 = LayerNorm2d(name="mask_ln2")
         self.mask_conv3 = nn.Conv(self.embedding_planes, (1, 1),
                                   dtype=self.dtype, name="mask_conv3")

@@ -248,6 +248,50 @@ class MultiHeadSelfAttention(nn.Module):
         return out
 
 
+class Conv3x3S2(nn.Module):
+    """3x3 / stride-2 / pad-1 convolution as 9 shifted strided slices plus
+    one dot over the flattened taps.
+
+    Numerically identical to ``nn.Conv(C, (3,3), strides=(2,2),
+    padding=1)`` with the exact same param tree (``kernel`` [3,3,in,C]
+    HWIO + ``bias`` [C]), so torch converters/checkpoints are unaffected.
+    Built for tiny-channel mask pyramids (SAM2 memory-encoder mask
+    downsampler, reference SimpleAICV/video_interactive_segmentation/
+    models/segment_anything2/memory_encoder.py MaskDownSampler: channels
+    1->4->16->64 over 1024^2..128^2): as a convolution those layers put
+    1-16 channels on the 128-wide MXU lane dimension, and their
+    [3,3,cin,cout] weight-gradient is a full-spatial reduction XLA tiles
+    badly — together ~12 ms of a 420 ms SAM2 train step. As slices + a
+    [H*W, 9*cin] @ [9*cin, cout] dot both directions are
+    bandwidth-shaped.
+    """
+    features: int
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, cin = x.shape
+        assert h % 2 == 0 and w % 2 == 0, (h, w)
+        oh, ow = h // 2, w // 2
+        kernel = self.param("kernel", self.kernel_init,
+                            (3, 3, cin, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        taps = []
+        for ky in range(3):
+            for kx in range(3):
+                taps.append(jax.lax.slice(
+                    xp, (0, ky, kx, 0),
+                    (b, ky + 2 * oh - 1, kx + 2 * ow - 1, cin),
+                    (1, 2, 2, 1)))
+        # tap order (ky, kx, cin) matches the HWIO kernel flattening
+        patches = jnp.concatenate(taps, axis=-1).astype(self.dtype)
+        w_mat = kernel.astype(self.dtype).reshape(9 * cin, self.features)
+        y = jnp.einsum("bhwk,kc->bhwc", patches, w_mat)
+        return y + bias.astype(y.dtype)
+
+
 def max_pool(x, window: int, stride: int, padding="VALID"):
     """NHWC max pool; padding may be 'SAME'/'VALID' or explicit pairs."""
     return nn.max_pool(x, (window, window), strides=(stride, stride),

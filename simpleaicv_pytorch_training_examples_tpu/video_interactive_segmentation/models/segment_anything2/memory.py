@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ....models.common import Conv3x3S2
 from .image_encoder import sine_position_embedding_2d
 
 
@@ -207,8 +208,10 @@ class MemoryEncoder(nn.Module):
         ch = 1
         for i in range(4):  # total stride 16
             ch = ch * 4
-            x = nn.Conv(ch, (3, 3), strides=(2, 2), padding=1,
-                        dtype=self.dtype, name=f"mask_down_{i}")(x)
+            # slice+dot form of nn.Conv(ch,(3,3),s2,p1) — same params,
+            # same math, MXU-shaped for the 1..64-channel mask pyramid
+            x = Conv3x3S2(ch, dtype=self.dtype,
+                          name=f"mask_down_{i}")(x)
             x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
                              name=f"mask_down_ln_{i}")(x)
             x = nn.gelu(x, approximate=False)

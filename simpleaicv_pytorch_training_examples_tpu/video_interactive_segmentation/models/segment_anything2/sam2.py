@@ -498,9 +498,14 @@ class SAM2Video(nn.Module):
         mask. mask: [B, H, W] float {0,1} at input resolution."""
         b = feat.shape[0]
         m = mask.astype(jnp.float32)
-        small = jax.lax.conv_general_dilated(
-            m[..., None], self.mask_downsample_kernel, (4, 4), "VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC")) \
+        # non-overlapping 4x4/s4 1->1-channel conv as reshape + dot
+        # (same [4,4,1,1] params; the conv form is ~0%-lane-utilization)
+        bm, hm, wm = m.shape
+        patches = m.reshape(bm, hm // 4, 4, wm // 4, 4)
+        small = jnp.einsum(
+            "bhpwq,pq->bhw", patches,
+            self.mask_downsample_kernel[:, :, 0, 0],
+            precision=jax.lax.Precision.HIGHEST)[..., None] \
             + self.mask_downsample_bias
         prompts = {
             "prompt_point": jnp.full((b, 1, 3), -1.0),

@@ -122,6 +122,10 @@ class _SAM2MattingBase(nn.Module):
     # fused pallas memory attention (TPU only; XLA fallback elsewhere) —
     # same flag as SAM2Video
     use_flash_attention: bool = False
+    # widen Hiera head qkv/proj params d=56 -> 64 for the 128-lane
+    # packed kernels — same knob as SAM2Video.head_dim_padding (exact
+    # for converted checkpoints; 0 = reference-exact param shapes)
+    head_dim_padding: int = 0
     dtype: Any = jnp.float32
 
     def _setup_core(self):
@@ -141,7 +145,8 @@ class _SAM2MattingBase(nn.Module):
                 fpn_planes=self.fpn_planes,
                 use_gradient_checkpoint=self.use_gradient_checkpoint,
                 use_flash_attention=self.use_flash_attention,
-                dtype=self.dtype)
+                dtype=self.dtype,
+                head_dim_padding=self.head_dim_padding)
         self.prompt_encoder = PromptEncoder(
             image_size=self.image_size, patch_size=16,
             embedding_planes=self.fpn_planes, dtype=self.dtype)

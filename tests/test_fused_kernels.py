@@ -677,3 +677,51 @@ def test_hiera_head_dim_padding_exact():
         # contraction changes XLA's summation order (measured <= 4e-6)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5, rtol=0)
+
+
+def test_conv3x3s2_matches_nn_conv():
+    """Conv3x3S2 (slice+dot rewrite of the SAM2 memory-encoder mask
+    downsampler, models/common.py) == nn.Conv(3x3, s2, pad1): same param
+    tree, same forward, same grads (reduction-order noise only)."""
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+    from simpleaicv_pytorch_training_examples_tpu.models.common import (
+        Conv3x3S2)
+
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(2, 16, 24, 5), jnp.float32)
+    ref = nn.Conv(7, (3, 3), strides=(2, 2), padding=1)
+    new = Conv3x3S2(7)
+    v = ref.init(jax.random.PRNGKey(0), x)
+    assert (jax.tree.map(lambda a: a.shape, v) ==
+            jax.tree.map(lambda a: a.shape,
+                         new.init(jax.random.PRNGKey(0), x)))
+    np.testing.assert_allclose(np.asarray(ref.apply(v, x)),
+                               np.asarray(new.apply(v, x)),
+                               atol=1e-6, rtol=0)
+    g_ref = jax.grad(lambda p: jnp.sum(jnp.sin(ref.apply(p, x))))(v)
+    g_new = jax.grad(lambda p: jnp.sum(jnp.sin(new.apply(p, x))))(v)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-6),
+        g_ref, g_new)
+
+
+def test_patchembed_matches_2x2_strided_conv():
+    """PatchEmbed(p=2) == nn.Conv((2,2), s2) — the SAM prompt-encoder
+    mask-downscaler rewrite (prompt_encoder.py mask_conv1/2)."""
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+    from simpleaicv_pytorch_training_examples_tpu.models.common import (
+        PatchEmbed)
+
+    rs = np.random.RandomState(1)
+    x = jnp.asarray(rs.randn(2, 12, 12, 4), jnp.float32)
+    ref = nn.Conv(16, (2, 2), strides=(2, 2))
+    new = PatchEmbed(16, 2)
+    v = ref.init(jax.random.PRNGKey(1), x)
+    np.testing.assert_allclose(np.asarray(ref.apply(v, x)),
+                               np.asarray(new.apply(v, x)),
+                               atol=1e-6, rtol=0)
