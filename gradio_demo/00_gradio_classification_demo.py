@@ -70,8 +70,12 @@ def main():
               "`pip install gradio` to launch the UI. The predict fn is "
               "importable via build_predict_fn() regardless.")
         return
+    sys.path.append(os.path.join(BASE_DIR, "gradio_demo"))
+    from make_sample_images import sample_images
     demo = gr.Interface(fn=build_predict_fn(), inputs=gr.Image(),
                         outputs=gr.Label(num_top_classes=5),
+                        examples=[[p] for p in
+                                  sample_images("classification")],
                         title="TPU classification demo")
     demo.launch()
 

@@ -14,6 +14,9 @@ sys.path.append(os.path.join(BASE_DIR, "inference_demo"))
 
 import _predictors as P  # noqa: E402
 
+sys.path.append(os.path.join(BASE_DIR, "gradio_demo"))
+from make_sample_images import sample_images  # noqa: E402
+
 NETWORK = "resnet50"
 CHECKPOINT = ""
 
@@ -43,7 +46,8 @@ def main():
         return
     app = gr.Interface(
         fn=lambda img: run(img, NETWORK, CHECKPOINT),
-        inputs=gr.Image(type="numpy"), outputs=gr.Text())
+        inputs=gr.Image(type="numpy"), outputs=gr.Text(),
+        examples=[[p] for p in sample_images("classification")])
     app.launch()
 
 

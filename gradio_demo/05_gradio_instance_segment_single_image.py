@@ -14,6 +14,9 @@ sys.path.append(os.path.join(BASE_DIR, "inference_demo"))
 
 import _predictors as P  # noqa: E402
 
+sys.path.append(os.path.join(BASE_DIR, "gradio_demo"))
+from make_sample_images import sample_images  # noqa: E402
+
 NETWORK = "resnet50_solov2"
 CHECKPOINT = ""
 
@@ -41,6 +44,7 @@ def main():
     app = gr.Interface(
         fn=lambda img: run(img, NETWORK, CHECKPOINT),
         inputs=gr.Image(type="numpy"),
+        examples=[[p] for p in sample_images("instance_segmentation")],
         outputs=gr.Image() if "instance" != "textrec" else gr.Text())
     app.launch()
 

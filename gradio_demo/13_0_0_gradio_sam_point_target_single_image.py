@@ -14,6 +14,9 @@ sys.path.append(os.path.join(BASE_DIR, "inference_demo"))
 
 import _predictors as P  # noqa: E402
 
+sys.path.append(os.path.join(BASE_DIR, "gradio_demo"))
+from make_sample_images import sample_images  # noqa: E402
+
 NETWORK = "sam_b"
 CHECKPOINT = ""
 
@@ -35,7 +38,9 @@ def main():
     app = gr.Interface(
         fn=lambda img, x, y: run(img, NETWORK, CHECKPOINT, x, y),
         inputs=[gr.Image(type="numpy"), gr.Number(512), gr.Number(512)],
-        outputs=gr.Image())
+        outputs=gr.Image(),
+        examples=[[p, 240, 180]
+                  for p in sample_images("interactive_segmentation")])
     app.launch()
 
 

@@ -14,6 +14,9 @@ sys.path.append(os.path.join(BASE_DIR, "inference_demo"))
 
 import _predictors as P  # noqa: E402
 
+sys.path.append(os.path.join(BASE_DIR, "gradio_demo"))
+from make_sample_images import sample_images  # noqa: E402
+
 NETWORK = "dinov3_vit_large_patch16_universal_segmentation"
 CHECKPOINT = ""
 
@@ -35,6 +38,7 @@ def main():
     app = gr.Interface(
         fn=lambda img: run(img, NETWORK, CHECKPOINT),
         inputs=gr.Image(type="numpy"),
+        examples=[[p] for p in sample_images("universal_segmentation")],
         outputs=gr.Image() if "universal" != "textrec" else gr.Text())
     app.launch()
 

@@ -48,7 +48,10 @@ def preprocess_image(image_path, resize, scale, mean, std):
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--image", required=True)
+    parser.add_argument(
+        "--image",
+        default=os.path.join(BASE_DIR, "gradio_demo", "test_images",
+                             "classification", "sample_0.png"))
     parser.add_argument("--network", default=config.network)
     parser.add_argument("--checkpoint", default=config.trained_model_path)
     args = parser.parse_args()

@@ -20,7 +20,10 @@ import _predictors as P  # noqa: E402
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--image", required=True)
+    parser.add_argument(
+        "--image",
+        default=os.path.join(BASE_DIR, "gradio_demo", "test_images",
+                             "instance_segmentation", "sample_0.png"))
     parser.add_argument("--network", default="resnet50_solov2")
     parser.add_argument("--checkpoint", default="")
     parser.add_argument("--save", default="out.png")

@@ -47,6 +47,32 @@ def test_predict_text_recognition_demo(image):
     assert isinstance(text, str)
 
 
+def test_bundled_sample_images():
+    """Every demo task ships bundled sample images (reference bundles
+    gradio_demo/test_*_images/ photos; zero-egress repo bundles
+    deterministic synthetic scenes via make_sample_images.py) and every
+    gradio app lists them as gr.Examples."""
+    import glob
+
+    import cv2
+
+    sys.path.insert(0, os.path.join(os.path.dirname(DEMO), "gradio_demo"))
+    from make_sample_images import TASKS, sample_images
+
+    for task in TASKS:
+        paths = sample_images(task)
+        assert paths, task
+        for p in paths:
+            img = cv2.imread(p)
+            assert img is not None and img.ndim == 3, p
+            assert min(img.shape[:2]) >= 64, (p, img.shape)
+
+    wired = [f for f in glob.glob(os.path.join(
+        os.path.dirname(DEMO), "gradio_demo", "*gradio*.py"))
+        if "sample_images(" in open(f).read()]
+    assert len(wired) >= 15, len(wired)
+
+
 def test_predict_sam_box_circle_demo(image):
     """Circle-target gradio/CLI demo path: brushed-layer alpha ->
     bounding box -> SAM box prompt (reference gradio 13.0.1)."""
